@@ -1,0 +1,99 @@
+"""Parameterised primitive layers (torch-layout params, pure-functional apply)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import initializers as init
+from .module import Module, split_keys
+
+
+def linear_init(key, in_features: int, out_features: int, bias: bool = True):
+    kw, kb = jax.random.split(key)
+    p = {"weight": init.kaiming_uniform_linear(kw, out_features, in_features)}
+    if bias:
+        p["bias"] = init.linear_bias(kb, out_features, in_features)
+    return p
+
+
+def linear_apply(p, x):
+    """x @ W^T + b with torch-layout W [out, in].
+
+    The transpose is a dot_general dimension-number choice for XLA, not a
+    data movement; keeping torch layout makes checkpoint import a no-op.
+    """
+    y = jnp.matmul(x, p["weight"].T)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def layer_norm_init(d: int):
+    return {"weight": init.ones((d,)), "bias": init.zeros((d,))}
+
+
+def layer_norm_apply(p, x, eps: float = 1e-5):
+    # fp32 statistics regardless of compute dtype (bf16-safe).
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * p["weight"] + p["bias"]).astype(x.dtype)
+
+
+def dropout(x, rate: float, key, train: bool):
+    """Inverted dropout matching torch semantics; identity when not training."""
+    if not train or rate == 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def mlp2_init(key, d_in: int, d_hidden: int, d_out: int):
+    """Params for torch ``nn.Sequential(Linear, ReLU, Linear)``.
+
+    Keys are "0" and "2" so the flattened names match torch state_dict
+    entries like ``mlp.0.weight`` / ``mlp.2.weight`` exactly.
+    """
+    k0, k2 = jax.random.split(key)
+    return {
+        "0": linear_init(k0, d_in, d_hidden),
+        "2": linear_init(k2, d_hidden, d_out),
+    }
+
+
+def mlp2_apply(p, x):
+    return linear_apply(p["2"], relu(linear_apply(p["0"], x)))
+
+
+class Linear(Module):
+    def __init__(self, in_features: int, out_features: int, bias: bool = True, seed: int = 0):
+        self.in_features = in_features
+        self.out_features = out_features
+        self.bias = bias
+        self.seed = seed
+
+    def init(self, key):
+        return linear_init(key, self.in_features, self.out_features, self.bias)
+
+    def apply(self, params, x):
+        return linear_apply(params, x)
+
+
+class LayerNorm(Module):
+    def __init__(self, d: int, eps: float = 1e-5, seed: int = 0):
+        self.d = d
+        self.eps = eps
+        self.seed = seed
+
+    def init(self, key):
+        return layer_norm_init(self.d)
+
+    def apply(self, params, x):
+        return layer_norm_apply(params, x, self.eps)

@@ -1,0 +1,59 @@
+"""Fused (flash) multi-head attention for TPU.
+
+Entry point: :func:`flash_mha` — consumes already-projected per-head
+``q/k/v`` of shape ``[B, H, L, hd]`` plus an optional ``[B, Lk]`` True=PAD
+key-padding mask, and returns ``[B, H, Lq, hd]``. It never materialises
+the ``[B, H, Lq, Lk]`` probability tensor in HBM.
+
+Routing rules (decided by the caller, hriemo.nn.attention):
+  * weight export requested → einsum path (probabilities must exist);
+  * attention dropout active → einsum path;
+  * otherwise on TPU → this kernel.
+
+For shapes too small to tile profitably (the emotion decoder's E≤8 query
+rows, utterance-level L=1) the XLA fallback below is used — XLA already
+fuses those fine, and Pallas tiling constraints (8×128 fp32 tiles) would
+force heavy padding.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..core.masking import NEG_INF
+
+
+def _xla_sdpa(q, k, v, key_padding_mask):
+    """Reference scaled-dot-product attention (XLA-fused fallback)."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if key_padding_mask is not None:
+        scores = scores + jnp.where(key_padding_mask, NEG_INF, 0.0).astype(
+            scores.dtype
+        )[:, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _use_pallas(q_shape, k_shape) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    _, _, lq, hd = q_shape
+    lk = k_shape[2]
+    # Tiling pays off once both sequence axes fill at least one tile.
+    return lq >= 128 and lk >= 128 and hd in (32, 64, 128, 192, 256)
+
+
+def flash_mha(q, k, v, key_padding_mask=None):
+    """Fused attention; falls back to XLA for tiny/odd shapes or off-TPU."""
+    if not _use_pallas(q.shape, k.shape):
+        return _xla_sdpa(q, k, v, key_padding_mask)
+    from .flash_attention_pallas import pallas_mha
+
+    return pallas_mha(q, k, v, key_padding_mask)
