@@ -1,0 +1,167 @@
+"""BERT text frontend in pure JAX.
+
+Replaces the reference's per-utterance HF PyTorch BERT pass
+(reference: scripts/iemocap_feature_extraction_seq_level/extract_text_feats_bert_seq.py)
+with a batched XLA-compiled encoder. Parameter names mirror the HF
+``BertModel`` state dict exactly (``embeddings.word_embeddings.weight``,
+``encoder.layer.0.attention.self.query.weight``, …) so pretrained
+checkpoints load with :meth:`BertEncoder.from_torch_state_dict`.
+
+Architecture: standard post-norm BERT — embeddings (word + position +
+token_type) → LN → N layers of (self-attention → add&LN → GELU FFN →
+add&LN). Masking uses the framework's additive NEG_INF convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..core.masking import NEG_INF
+from ..nn.layers import layer_norm_apply, linear_apply
+from ..nn.module import Module
+
+
+@dataclasses.dataclass
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout_prob: float = 0.1
+
+    @classmethod
+    def base_uncased(cls):
+        return cls()
+
+    @classmethod
+    def tiny(cls, **kw):
+        """Small config for tests."""
+        d = dict(vocab_size=99, hidden_size=32, num_hidden_layers=2,
+                 num_attention_heads=4, intermediate_size=64,
+                 max_position_embeddings=64, type_vocab_size=2)
+        d.update(kw)
+        return cls(**d)
+
+
+def _attention(p, x, bias, n_heads, eps):
+    b, l, d = x.shape
+    hd = d // n_heads
+
+    def proj(name):
+        y = linear_apply(p["self"][name], x)
+        return y.reshape(b, l, n_heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = proj("query"), proj("key"), proj("value")
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q / math.sqrt(hd), k,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
+    out = linear_apply(p["output"]["dense"], ctx)
+    return layer_norm_apply(p["output"]["LayerNorm"], x + out, eps)
+
+
+class BertEncoder(Module):
+    """Returns ``(sequence_output [B,L,d], pooled [B,d])`` where pooled is
+    the masked mean over tokens (the reference's pooling,
+    extract_text_feats_bert_seq.py:62-76 / extract_text_feats_bert.py:73-83)."""
+
+    def __init__(self, config: BertConfig | None = None, seed: int = 0):
+        self.config = config or BertConfig()
+        self.seed = seed
+
+    def init(self, key):
+        cfg = self.config
+        d, ff = cfg.hidden_size, cfg.intermediate_size
+        keys = iter(jax.random.split(key, 16 + 16 * cfg.num_hidden_layers))
+        nrm = lambda: {"weight": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+        emb = lambda n, m: jax.random.normal(next(keys), (n, m)) * 0.02
+        lin = lambda din, dout: {
+            "weight": jax.random.normal(next(keys), (dout, din)) * 0.02,
+            "bias": jnp.zeros((dout,)),
+        }
+        params = {
+            "embeddings": {
+                "word_embeddings": {"weight": emb(cfg.vocab_size, d)},
+                "position_embeddings": {"weight": emb(cfg.max_position_embeddings, d)},
+                "token_type_embeddings": {"weight": emb(cfg.type_vocab_size, d)},
+                "LayerNorm": nrm(),
+            },
+            "encoder": {"layer": {}},
+            "pooler": {"dense": lin(d, d)},
+        }
+        for i in range(cfg.num_hidden_layers):
+            params["encoder"]["layer"][str(i)] = {
+                "attention": {
+                    "self": {"query": lin(d, d), "key": lin(d, d), "value": lin(d, d)},
+                    "output": {"dense": lin(d, d), "LayerNorm": nrm()},
+                },
+                "intermediate": {"dense": lin(d, ff)},
+                "output": {"dense": lin(ff, d), "LayerNorm": nrm()},
+            }
+        return params
+
+    def apply(self, params, input_ids, attention_mask=None, token_type_ids=None):
+        """input_ids [B,L] int; attention_mask [B,L] 1=valid (HF convention)."""
+        cfg = self.config
+        b, l = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        pos_ids = jnp.arange(l)[None, :]
+
+        e = params["embeddings"]
+        x = (e["word_embeddings"]["weight"][input_ids]
+             + e["position_embeddings"]["weight"][pos_ids]
+             + e["token_type_embeddings"]["weight"][token_type_ids])
+        x = layer_norm_apply(e["LayerNorm"], x, cfg.layer_norm_eps)
+
+        bias = None
+        if attention_mask is not None:
+            bias = jnp.where(attention_mask == 0, NEG_INF, 0.0).astype(jnp.float32)
+            bias = bias[:, None, None, :]
+
+        for i in range(cfg.num_hidden_layers):
+            lp = params["encoder"]["layer"][str(i)]
+            x = _attention(lp["attention"], x, bias, cfg.num_attention_heads,
+                           cfg.layer_norm_eps)
+            h = jax.nn.gelu(linear_apply(lp["intermediate"]["dense"], x),
+                            approximate=False)
+            h = linear_apply(lp["output"]["dense"], h)
+            x = layer_norm_apply(lp["output"]["LayerNorm"], x + h, cfg.layer_norm_eps)
+
+        # masked mean pooling (the reference's utterance embedding)
+        if attention_mask is not None:
+            valid = attention_mask.astype(x.dtype)
+            denom = jnp.clip(valid.sum(axis=1, keepdims=True), min=1.0)
+            pooled = (x * valid[:, :, None]).sum(axis=1) / denom
+        else:
+            pooled = x.mean(axis=1)
+        return x, pooled
+
+    def from_torch_state_dict(self, sd: dict):
+        """Load an HF ``BertModel`` state dict (tensor names preserved)."""
+        from ..nn.module import unflatten_params
+
+        flat = {}
+        like = dict(self.params)  # ensure initialised
+        for name, tensor in sd.items():
+            if name.startswith("bert."):
+                name = name[len("bert."):]
+            if name.startswith("pooler.") or "position_ids" in name:
+                continue  # we do masked-mean pooling; buffer not a param
+            arr = jnp.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor)
+            flat[name] = arr
+        tree = unflatten_params(flat)
+        tree["pooler"] = like["pooler"]  # keep (unused) pooler slot
+        self.params = tree
+        return self
