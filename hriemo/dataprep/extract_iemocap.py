@@ -1,0 +1,236 @@
+#!/usr/bin/env python3
+"""IEMOCAP feature extraction — batched, on-device, XLA-compiled.
+
+Replaces four reference scripts with one CLI
+(reference: scripts/iemocap_feature_extraction_{utter,seq}_level/extract_{audio,text}_feats_*.py):
+
+    python -m hriemo.dataprep.extract_iemocap \
+        --modality audio --level seq \
+        --index_csv data/iemocap_index_splits.csv \
+        --wavlm_state_dict /path/wavlm.pt --out_dir features/seq_level/audio
+
+Behavioral contract:
+  * audio: mono → 16 kHz → peak-norm → 10 s cap (pad for seq level,
+    truncate-only for utter level); WavLM last_hidden_state per frame;
+    utter level mask-weighted time mean-pool → [768]
+    (reference extract_audio_feats_wavlm.py:97-127);
+  * text: WordPiece tokenizer (local vocab), max_len 128; BERT hidden
+    states + attention mask (seq) or masked mean-pool (utter)
+    (reference extract_text_feats_bert_seq.py:62-76);
+  * artifacts: one file per uid ({"hidden", "attention_mask"} for seq,
+    bare vector for utter) + dir-level meta.json with hidden_dim.
+
+TPU-native deltas: utterances run in fixed-size padded **batches** under
+jit (the reference loops batch=1 per clip), host preprocessing is
+overlapped with device compute via double-buffered feed, and the frame
+mask uses the exact conv-length formula.
+
+Weights: pass ``--wavlm_state_dict`` / ``--bert_state_dict`` (torch .pt /
+.bin state dict files). ``--random_init`` runs the pipeline with random
+weights (CI / shape validation only — features are meaningless).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .audio import prepare_waveform, TARGET_SR
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modality", choices=["audio", "text"], required=True)
+    ap.add_argument("--level", choices=["utter", "seq"], default="seq")
+    ap.add_argument("--index_csv", type=str, required=True)
+    ap.add_argument("--out_dir", type=str, required=True)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--max_seconds", type=float, default=10.0)
+    ap.add_argument("--max_len_text", type=int, default=128)
+    ap.add_argument("--fmt", choices=["npz", "pt"], default="npz")
+    # weights
+    ap.add_argument("--wavlm_state_dict", type=str, default=None)
+    ap.add_argument("--bert_state_dict", type=str, default=None)
+    ap.add_argument("--vocab_file", type=str, default=None,
+                    help="local WordPiece vocab.txt for the tokenizer")
+    ap.add_argument("--random_init", action="store_true",
+                    help="run with random weights (pipeline validation only)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model configs (tests)")
+    ap.add_argument("--compute_dtype", choices=["float32", "bfloat16"], default="float32")
+    return ap.parse_args(argv)
+
+
+def _load_sd(path):
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    return obj.get("model_state_dict", obj) if isinstance(obj, dict) and "model_state_dict" in obj else obj
+
+
+def _batched(seq, n):
+    for i in range(0, len(seq), n):
+        yield seq[i : i + n]
+
+
+def extract_audio(args, df, out_dir: Path):
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.feature_store import save_feature, write_meta
+    from ..frontends import WavLMConfig, WavLMEncoder
+    from ..frontends.wavlm import feat_extract_output_lengths
+
+    cfg = WavLMConfig.tiny() if args.tiny else WavLMConfig.base_plus()
+    model = WavLMEncoder(cfg)
+    if args.wavlm_state_dict:
+        model.from_torch_state_dict(_load_sd(args.wavlm_state_dict))
+    elif not args.random_init:
+        raise SystemExit("need --wavlm_state_dict (or --random_init for validation)")
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    params = jax.tree_util.tree_map(lambda x: x.astype(dtype), model.params)
+    t_max = int(args.max_seconds * TARGET_SR)
+
+    @jax.jit
+    def run(wavs, masks):
+        hidden, frame_mask = model.apply(params, wavs.astype(dtype), masks)
+        return hidden.astype(jnp.float32), frame_mask
+
+    rows = list(df.itertuples())
+    n_done = 0
+    pending = None  # (uids, n_frames, device result) — double buffer
+
+    def flush(p):
+        nonlocal n_done
+        uids, n_valid, (hidden, frame_mask) = p
+        hidden = np.asarray(hidden)
+        frame_mask = np.asarray(frame_mask)
+        for j, uid in enumerate(uids):
+            h = hidden[j]
+            m = frame_mask[j]
+            if args.level == "utter":
+                # mask-weighted time mean-pool (reference :97-101)
+                w = m.astype(np.float32)
+                vec = (h * w[:, None]).sum(0) / max(w.sum(), 1.0)
+                save_feature(out_dir / f"{uid}.{args.fmt}", vec)
+            else:
+                save_feature(out_dir / f"{uid}.{args.fmt}", h, m.astype(np.int64))
+            n_done += 1
+
+    for chunk in _batched(rows, args.batch_size):
+        wavs = np.zeros((args.batch_size, t_max), np.float32)
+        masks = np.zeros((args.batch_size, t_max), np.int32)
+        uids = []
+        for j, row in enumerate(chunk):
+            wav, n = prepare_waveform(row.audio_path, pad=True,
+                                      max_seconds=args.max_seconds)
+            wavs[j, : len(wav)] = wav
+            masks[j, :n] = 1
+            uids.append(row.utter_id)
+        result = run(jnp.asarray(wavs), jnp.asarray(masks))
+        if pending is not None:
+            flush(pending)
+        pending = (uids, len(chunk), result)
+    if pending is not None:
+        flush(pending)
+
+    write_meta(out_dir, hidden_dim=cfg.hidden_size,
+               model="wavlm-jax", level=args.level, sample_rate=TARGET_SR,
+               max_seconds=args.max_seconds, count=n_done)
+    print(f"[extract] {n_done} audio features → {out_dir}")
+
+
+def extract_text(args, df, out_dir: Path):
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.feature_store import save_feature, write_meta
+    from ..frontends import BertConfig, BertEncoder
+
+    cfg = BertConfig.tiny() if args.tiny else BertConfig.base_uncased()
+    model = BertEncoder(cfg)
+    if args.bert_state_dict:
+        model.from_torch_state_dict(_load_sd(args.bert_state_dict))
+    elif not args.random_init:
+        raise SystemExit("need --bert_state_dict (or --random_init for validation)")
+
+    if args.vocab_file:
+        from transformers import BertTokenizerFast
+
+        tokenizer = BertTokenizerFast(vocab_file=args.vocab_file, do_lower_case=True)
+    else:
+        tokenizer = _HashTokenizer(cfg.vocab_size)
+        print("[extract] WARNING: no --vocab_file; using a hash tokenizer "
+              "(pipeline validation only)")
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    params = jax.tree_util.tree_map(lambda x: x.astype(dtype), model.params)
+    max_len = args.max_len_text
+
+    @jax.jit
+    def run(ids, mask):
+        seq, pooled = model.apply(params, ids, mask)
+        return seq.astype(jnp.float32), pooled.astype(jnp.float32)
+
+    rows = list(df.itertuples())
+    n_done = 0
+    for chunk in _batched(rows, args.batch_size):
+        texts = [str(r.text) for r in chunk]
+        enc = tokenizer(texts, max_length=max_len, padding="max_length",
+                        truncation=True, return_tensors="np")
+        ids = np.zeros((args.batch_size, max_len), np.int32)
+        mask = np.zeros((args.batch_size, max_len), np.int32)
+        ids[: len(chunk)] = enc["input_ids"]
+        mask[: len(chunk)] = enc["attention_mask"]
+        seq, pooled = run(jnp.asarray(ids), jnp.asarray(mask))
+        seq, pooled = np.asarray(seq), np.asarray(pooled)
+        for j, row in enumerate(chunk):
+            if args.level == "utter":
+                save_feature(out_dir / f"{row.utter_id}.{args.fmt}", pooled[j])
+            else:
+                save_feature(out_dir / f"{row.utter_id}.{args.fmt}", seq[j],
+                             mask[j].astype(np.int64))
+            n_done += 1
+
+    write_meta(out_dir, hidden_dim=cfg.hidden_size, model="bert-jax",
+               level=args.level, max_len=max_len, count=n_done)
+    print(f"[extract] {n_done} text features → {out_dir}")
+
+
+class _HashTokenizer:
+    """Deterministic whitespace+hash tokenizer (validation-only fallback)."""
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+
+    def __call__(self, texts, max_length, padding, truncation, return_tensors):
+        ids = np.zeros((len(texts), max_length), np.int32)
+        mask = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            toks = [1] + [2 + (hash(w) % (self.vocab_size - 3)) for w in t.lower().split()]
+            toks = toks[: max_length - 1] + [2]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+def main(argv=None):
+    import pandas as pd
+
+    args = parse_args(argv)
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    df = pd.read_csv(args.index_csv)
+    if args.modality == "audio":
+        extract_audio(args, df, out_dir)
+    else:
+        extract_text(args, df, out_dir)
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

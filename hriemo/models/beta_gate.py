@@ -42,10 +42,12 @@ class BetaGate(Module):
         beta = jax.nn.sigmoid(mlp2_apply(params["mlp"], gate_input))  # [B, 1]
 
         # fusion length: text length when the modalities disagree
+        from .beta_gate_tacfn import _fit_length
+
         l_a, l_t = h_a.shape[1], h_t.shape[1]
         length = l_a if l_a == l_t else l_t
-        h_a = h_a[:, :length, :]
-        h_t = h_t[:, :length, :]
+        h_a = _fit_length(h_a, length)
+        h_t = _fit_length(h_t, length)
 
         beta_b = beta.reshape(b, 1, 1)
         h_fusion = beta_b * h_a + (1.0 - beta_b) * h_t

@@ -23,6 +23,17 @@ from ..nn.module import Module
 __all__ = ["BetaGate", "masked_mean"]
 
 
+def _fit_length(x: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Truncate (reference behavior) or zero-pad (extension: the reference
+    crashes when audio is shorter than text; padded positions end up True
+    in the fused pad mask via build_fused_mask's pad-with-PAD rule)."""
+    if x.shape[1] > length:
+        return x[:, :length, :]
+    if x.shape[1] < length:
+        return jnp.pad(x, ((0, 0), (0, length - x.shape[1]), (0, 0)))
+    return x
+
+
 class BetaGate(Module):
     def __init__(self, d_model: int = 768, hidden_dim: int = 256, seed: int = 0):
         self.d_model = d_model
@@ -54,8 +65,8 @@ class BetaGate(Module):
 
         l_a, l_t = h_a_n.shape[1], h_t_n.shape[1]
         length = l_a if l_a == l_t else l_t
-        h_a_n = h_a_n[:, :length, :]
-        h_t_n = h_t_n[:, :length, :]
+        h_a_n = _fit_length(h_a_n, length)
+        h_t_n = _fit_length(h_t_n, length)
 
         w_b = w.reshape(b, 1, d)
         h_fusion = w_b * h_a_n + (1.0 - w_b) * h_t_n
