@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""End-to-end streaming inference: raw inputs → emotion probabilities.
+
+BASELINE.json configs[4]: on-device WavLM + BERT feature extraction →
+cross-modal fusion → emotion decoder, as ONE compiled XLA graph per batch,
+with host preprocessing (wav decode/resample, tokenisation) overlapped
+with device compute via a double-buffered feed. This is the north-star
+path the reference runs as three separate offline stages
+(extract → save .pt → train/infer; SURVEY.md §3.5).
+
+Usage (library):
+
+    pipe = StreamingPipeline(wavlm, bert, fusion_model, compute_dtype=jnp.bfloat16)
+    probs, beta = pipe.infer(waveforms, texts)          # single batch
+    for probs, beta, uids in pipe.stream(batch_iter):   # double-buffered
+        ...
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class StreamingPipeline:
+    """Fused frontends + fusion-stack inference.
+
+    Args:
+        wavlm:   hriemo.frontends.WavLMEncoder (params loaded)
+        bert:    hriemo.frontends.BertEncoder (params loaded)
+        fusion:  a fusion model taking (h_a, h_t, mask_a, mask_t) and
+                 returning (logits, beta, z) — e.g. FusionWithEmotionDecoder.
+                 Its d_model must match the frontends' hidden size, or pass
+                 ``audio_proj``/``text_proj``-style wrapper models.
+        tokenizer: callable(texts, max_length, ...) -> input_ids/attention_mask
+                 (HF tokenizer or compatible).
+    """
+
+    def __init__(self, wavlm, bert, fusion, tokenizer=None,
+                 max_seconds: float = 10.0, max_tokens: int = 128,
+                 compute_dtype=jnp.bfloat16, multi_label: bool = True):
+        self.wavlm = wavlm
+        self.bert = bert
+        self.fusion = fusion
+        self.tokenizer = tokenizer
+        self.max_seconds = max_seconds
+        self.max_tokens = max_tokens
+        self.multi_label = multi_label
+        dt = compute_dtype
+        cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dt), t)
+        params = {
+            "wavlm": cast(wavlm.params),
+            "bert": cast(bert.params),
+            "fusion": cast(fusion.params),
+        }
+        self._params = params
+        self._dt = dt
+
+        @jax.jit
+        def forward(p, wavs, wav_mask, ids, tok_mask):
+            h_a, frame_mask = self.wavlm.apply(p["wavlm"], wavs.astype(dt), wav_mask)
+            h_t, _ = self.bert.apply(p["bert"], ids, tok_mask)
+            mask_a = frame_mask == 0  # True = PAD
+            mask_t = tok_mask == 0
+            logits, beta, _ = self.fusion.apply(
+                p["fusion"], h_a, h_t.astype(dt), mask_a, mask_t
+            )
+            logits = logits.astype(jnp.float32)
+            probs = jax.nn.sigmoid(logits) if self.multi_label else jax.nn.softmax(logits, -1)
+            return probs, beta.astype(jnp.float32)
+
+        self._forward = forward
+
+    # ---------------------------------------------------------------- host
+
+    def preprocess(self, waveforms: list[np.ndarray], texts: list[str],
+                   sample_rate: int = 16_000):
+        """Pad/tokenise a host batch into device-ready arrays."""
+        b = len(waveforms)
+        t_max = int(self.max_seconds * sample_rate)
+        wavs = np.zeros((b, t_max), np.float32)
+        wmask = np.zeros((b, t_max), np.int32)
+        for i, w in enumerate(waveforms):
+            n = min(len(w), t_max)
+            wavs[i, :n] = w[:n]
+            wmask[i, :n] = 1
+
+        if self.tokenizer is not None:
+            enc = self.tokenizer(texts, max_length=self.max_tokens,
+                                 padding="max_length", truncation=True,
+                                 return_tensors="np")
+            ids = np.asarray(enc["input_ids"], np.int32)
+            tmask = np.asarray(enc["attention_mask"], np.int32)
+        else:
+            raise ValueError("StreamingPipeline needs a tokenizer for text input")
+        return wavs, wmask, ids, tmask
+
+    # -------------------------------------------------------------- device
+
+    def infer(self, waveforms, texts, sample_rate: int = 16_000):
+        arrs = self.preprocess(waveforms, texts, sample_rate)
+        probs, beta = self._forward(self._params, *map(jnp.asarray, arrs))
+        return np.asarray(probs), np.asarray(beta)
+
+    def stream(self, batches, sample_rate: int = 16_000):
+        """Double-buffered streaming: ``batches`` yields
+        ``(waveforms, texts[, uids])``; host preprocessing and the previous
+        batch's device compute overlap (async dispatch)."""
+        pending = None
+        for batch in batches:
+            wavs, texts = batch[0], batch[1]
+            uids = batch[2] if len(batch) > 2 else None
+            arrs = self.preprocess(wavs, texts, sample_rate)
+            result = self._forward(self._params, *map(jnp.asarray, arrs))
+            if pending is not None:
+                (p_probs, p_beta), p_uids = pending
+                yield np.asarray(p_probs), np.asarray(p_beta), p_uids
+            pending = (result, uids)
+        if pending is not None:
+            (p_probs, p_beta), p_uids = pending
+            yield np.asarray(p_probs), np.asarray(p_beta), p_uids

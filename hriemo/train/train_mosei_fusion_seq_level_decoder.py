@@ -78,6 +78,11 @@ def parse_args(argv=None):
                     help="generate N synthetic samples instead of real data")
     ap.add_argument("--native_ckpt", action="store_true",
                     help="also write an orbax checkpoint with optimizer state (resume)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from out_dir/resume (params+optimizer+epoch); "
+                         "a capability the reference lacks (SURVEY.md §5.4)")
+    ap.add_argument("--trace_dir", type=str, default=None,
+                    help="write a jax.profiler device trace of epoch 1 here")
     return ap.parse_args(argv)
 
 
@@ -178,19 +183,36 @@ def main(argv=None):
     train_step = make_train_step(model, cfg, mesh=mesh)
     eval_step = make_eval_step(model, cfg, mesh=mesh)
 
+    start_epoch, resume_meta = 1, {}
+    resume_dir = out_dir / "resume"
+    if args.resume and (resume_dir / "state").exists():
+        state = C.restore_native(str(resume_dir / "state"), like=state)
+        resume_meta = json.loads((resume_dir / "meta.json").read_text())
+        start_epoch = int(resume_meta.get("epoch", 0)) + 1
+        print(f"[resume] restored step={int(state.step)}, continuing at epoch {start_epoch}")
+
     log = TrainLogWriter(out_dir / "outputs" / "train_log.csv",
                          ["epoch", "train_loss", "val_loss", "val_auc", "mean_beta",
                           "val_macro_f1", "val_cal_macro_f1", "epoch_time_s"])
 
-    best_metric, best_params, best_pack = -1.0, None, {}
-    for epoch in range(1, args.epochs + 1):
+    best_metric = resume_meta.get("best_metric", -1.0)
+    best_params, best_pack = None, resume_meta.get("best_pack", {})
+    if args.resume and (resume_dir / "best_params").exists():
+        best_params = C.restore_native(
+            str(resume_dir / "best_params"),
+            like=jax.tree_util.tree_map(np.asarray, state.params))
+
+    from ..utils.profiling import trace as profiler_trace
+
+    for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         tr_losses, tr_betas = [], []
-        for i, batch in enumerate(prefetch_to_device(iter(train_loader))):
-            batch.pop("n_valid"); batch.pop("uids", None)
-            state, metrics = train_step(state, batch, jax.random.fold_in(jax.random.key(args.seed), epoch * 100000 + i))
-            tr_losses.append(metrics["loss"])
-            tr_betas.append(metrics["mean_beta"])
+        with profiler_trace(args.trace_dir if epoch == start_epoch else None):
+            for i, batch in enumerate(prefetch_to_device(iter(train_loader))):
+                batch.pop("n_valid"); batch.pop("uids", None)
+                state, metrics = train_step(state, batch, jax.random.fold_in(jax.random.key(args.seed), epoch * 100000 + i))
+                tr_losses.append(metrics["loss"])
+                tr_betas.append(metrics["mean_beta"])
         tr_loss = float(np.mean([float(l) for l in tr_losses])) if tr_losses else 0.0
         tr_beta = float(np.mean([float(b) for b in tr_betas])) if tr_betas else 0.0
 
@@ -223,6 +245,18 @@ def main(argv=None):
                 "val_calibrated_macro_f1": va_cal_macro,
                 "val_calibrated_thresholds": cal_ths.tolist(),
             }
+            if args.resume or args.native_ckpt:
+                C.save_native(str(resume_dir / "best_params"), best_params)
+
+        if args.resume or args.native_ckpt:
+            C.save_native(str(resume_dir / "state"), state)
+            resume_dir.mkdir(parents=True, exist_ok=True)
+            (resume_dir / "meta.json").write_text(json.dumps({
+                "epoch": epoch, "best_metric": best_metric, "best_pack": best_pack,
+            }))
+
+    if best_params is None:  # e.g. resumed past --epochs with no stored best
+        best_params = jax.tree_util.tree_map(np.asarray, state.params)
 
     # checkpoint in the reference layout (reference :616-642)
     ckpt = {

@@ -111,3 +111,25 @@ def test_tools_chain(trained):
     out = plot_tc.main(["--log_csv", str(trained["out"] / "outputs" / "train_log.csv"),
                         "--out", str(trained["root"] / "figs" / "curves.png")])
     assert out.exists()
+
+
+def test_plot_results_tool(trained):
+    import sys
+    sys.path.insert(0, "tools")
+    import importlib
+    from hriemo.infer.mosei_eval_infer import main as infer_main
+
+    pred_dir = trained["root"] / "preds4"
+    infer_main(["--ckpt", trained["ckpt"], "--index_csv", trained["index_csv"],
+                "--audio_dir", trained["audio_dir"], "--text_dir", trained["text_dir"],
+                "--splits", "val", "--batch_size", "4", "--amp_dtype", "off",
+                "--dump_beta", "--dump_attn", "--attn_max_samples", "3",
+                "--out_dir", str(pred_dir)])
+
+    mod = importlib.import_module("mosei_plot_results")
+    out = mod.main(["--pred_dir", str(pred_dir), "--split", "val",
+                    "--ckpt", trained["ckpt"], "--max_attn_samples", "2"])
+    for f in ("score_histograms.png", "label_correlation.png",
+              "confusion_matrices.png", "beta_distribution.png",
+              "attention_sample0.png", "case_study.txt"):
+        assert (out / f).exists(), f

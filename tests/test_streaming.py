@@ -1,0 +1,63 @@
+"""End-to-end streaming pipeline (raw inputs → probabilities), tiny scale."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from hriemo.frontends import BertConfig, BertEncoder, WavLMConfig, WavLMEncoder
+from hriemo.infer.streaming import StreamingPipeline
+from hriemo.models import FusionWithEmotionDecoder
+
+
+class HashTok:
+    def __call__(self, texts, max_length, padding, truncation, return_tensors):
+        ids = np.zeros((len(texts), max_length), np.int32)
+        mask = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            toks = [1] + [2 + (hash(w) % 90) for w in t.split()][: max_length - 1]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    wavlm = WavLMEncoder(WavLMConfig.tiny())
+    bert = BertEncoder(BertConfig.tiny())
+    fusion = FusionWithEmotionDecoder(d_model=32, num_emotions=4, n_heads=4,
+                                      num_layers_fusion=1, num_layers_decoder=1,
+                                      beta_hidden=16)
+    return StreamingPipeline(wavlm, bert, fusion, tokenizer=HashTok(),
+                             max_seconds=0.1, max_tokens=8,
+                             compute_dtype=jnp.float32)
+
+
+def test_single_batch(pipe):
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(1200).astype(np.float32),
+            rng.standard_normal(700).astype(np.float32)]
+    probs, beta = pipe.infer(wavs, ["hello there", "sad words today"])
+    assert probs.shape == (2, 4)
+    assert (probs >= 0).all() and (probs <= 1).all()
+    assert beta.shape == (2, 1)
+
+
+def test_streaming_double_buffer(pipe):
+    rng = np.random.default_rng(1)
+
+    def batches():
+        for i in range(3):
+            wavs = [rng.standard_normal(800).astype(np.float32) for _ in range(2)]
+            yield wavs, ["a b c", "d e"], [f"u{i}_0", f"u{i}_1"]
+
+    out = list(pipe.stream(batches()))
+    assert len(out) == 3
+    assert out[0][2] == ["u0_0", "u0_1"]  # order preserved
+    for probs, beta, _ in out:
+        assert probs.shape == (2, 4) and np.isfinite(probs).all()
+
+
+def test_waveform_longer_than_cap_truncated(pipe):
+    rng = np.random.default_rng(2)
+    probs, _ = pipe.infer([rng.standard_normal(100_000).astype(np.float32)], ["x"])
+    assert probs.shape == (1, 4)
