@@ -73,6 +73,7 @@ class BucketBatcher:
         drop_last: bool = True,
         grad_accum: int = 1,
         utter_level: bool = False,
+        native: bool = False,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -83,6 +84,31 @@ class BucketBatcher:
         self.grad_accum = grad_accum
         self.utter_level = utter_level
         self.epoch = 0
+        # C++ threaded batch assembly (native/feature_loader.cpp): needs a
+        # path-backed seq-level dataset; silently falls back otherwise.
+        self.native = False
+        if native and not utter_level and hasattr(dataset, "_paths"):
+            from .. import native as native_mod
+
+            self.native = native_mod.is_available()
+
+    def _native_batch(self, idx) -> dict:
+        from .. import native as native_mod
+
+        ds = self.ds
+        paths_a = [str(ds._paths[int(i)][0]) for i in idx]
+        paths_t = [str(ds._paths[int(i)][1]) for i in idx]
+        d_a = ds[0]["h_a"].shape[-1]
+        d_t = ds[0]["h_t"].shape[-1]
+        h_a, mask_a = native_mod.assemble_modality(
+            paths_a, self.la, d_a, max_len=ds.max_len_audio)
+        h_t, mask_t = native_mod.assemble_modality(
+            paths_t, self.lt, d_t, max_len=ds.max_len_text)
+        out = {"h_a": h_a, "h_t": h_t, "mask_a": mask_a, "mask_t": mask_t}
+        ys = [ds._labels(ds.df.iloc[int(i)]) for i in idx]
+        if ys[0] is not None:
+            out["y"] = np.stack([np.asarray(y) for y in ys])
+        return out
 
     def __len__(self):
         full = self.batch_size * self.grad_accum
@@ -104,22 +130,30 @@ class BucketBatcher:
             n_valid = len(idx)
             if n_valid < full:  # eval tail: repeat last item
                 idx = np.concatenate([idx, np.full(full - n_valid, idx[-1])])
-            items = [self.ds[int(i)] for i in idx]
-            if self.utter_level:
-                batch = stack_utter_batch(items)
-                batch["mask_a"] = np.zeros((full, 1), bool)
-                batch["mask_t"] = np.zeros((full, 1), bool)
-                batch["h_a"] = batch["h_a"][:, None, :]
-                batch["h_t"] = batch["h_t"][:, None, :]
+            if self.native:
+                batch = self._native_batch(idx)
             else:
-                batch = pad_batch(items, self.la, self.lt)
+                items = [self.ds[int(i)] for i in idx]
+                if self.utter_level:
+                    batch = stack_utter_batch(items)
+                    batch["mask_a"] = np.zeros((full, 1), bool)
+                    batch["mask_t"] = np.zeros((full, 1), bool)
+                    batch["h_a"] = batch["h_a"][:, None, :]
+                    batch["h_t"] = batch["h_t"][:, None, :]
+                else:
+                    batch = pad_batch(items, self.la, self.lt)
             if self.grad_accum > 1:
                 batch = {
                     k: v.reshape((self.grad_accum, self.batch_size) + v.shape[1:])
                     for k, v in batch.items()
                 }
             batch["n_valid"] = n_valid
-            batch["uids"] = [it.get("uid") for it in items[:n_valid]]
+            if self.native:
+                uid_col = self.ds.uid_col
+                batch["uids"] = [str(self.ds.df.iloc[int(i)][uid_col])
+                                 for i in idx[:n_valid]]
+            else:
+                batch["uids"] = [it.get("uid") for it in items[:n_valid]]
             yield batch
 
 

@@ -83,6 +83,8 @@ def parse_args(argv=None):
                          "a capability the reference lacks (SURVEY.md §5.4)")
     ap.add_argument("--trace_dir", type=str, default=None,
                     help="write a jax.profiler device trace of epoch 1 here")
+    ap.add_argument("--native_loader", action="store_true",
+                    help="use the C++ threaded batch assembler (native/)")
     return ap.parse_args(argv)
 
 
@@ -159,8 +161,10 @@ def main(argv=None):
 
     train_loader = BucketBatcher(train_ds, args.batch_size, la=la, lt=lt,
                                  shuffle=True, seed=args.seed,
-                                 grad_accum=args.grad_accum, drop_last=True)
-    val_loader = BucketBatcher(val_ds, args.batch_size, la=la, lt=lt, drop_last=False)
+                                 grad_accum=args.grad_accum, drop_last=True,
+                                 native=args.native_loader)
+    val_loader = BucketBatcher(val_ds, args.batch_size, la=la, lt=lt,
+                               drop_last=False, native=args.native_loader)
 
     steps_per_epoch = max(1, len(train_loader))
     total_steps = steps_per_epoch * args.epochs
