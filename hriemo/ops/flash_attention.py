@@ -46,16 +46,14 @@ def _use_pallas(q_shape, k_shape) -> bool:
         return False
     _, _, lq, hd = q_shape
     lk = k_shape[2]
-    # Measured on v5e: XLA's fused attention wins below L≈1k (3.7 vs 6.4 ms
-    # at B=64,H=8,L=499,hd=96); the flash kernel's no-materialisation
-    # advantage pays off for long sequences (frontend audio, ring/SP demos).
-    return (
-        (lq >= 1024 or lk >= 1024)
-        and lq >= 128
-        and lk >= 128
-        and hd % 8 == 0
-        and hd <= 256
-    )
+    # Measured on v5e (B=64, H=8, hd=96, bf16): isolated, the one-pass
+    # kernel beats XLA at 499x499 (2.5 vs 3.1 ms), but inside the full
+    # fusion stack XLA's fusion with surrounding projections wins the
+    # total (16.3 vs 16.6 ms whole-model A/B) — kernel call boundaries
+    # cost more than the attention win at these sizes. Route to Pallas
+    # only where the score panel becomes a genuine memory problem
+    # (L ≥ 1024: one-pass up to 2048, streaming flash beyond).
+    return lq >= 1024 and lk >= 1024 and hd % 8 == 0 and hd <= 256
 
 
 def flash_mha(q, k, v, key_padding_mask=None):
