@@ -211,19 +211,29 @@ class WavLMEncoder(Module):
         gates = jax.nn.sigmoid(proj)
         gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # [B,H,L,1]
         gate_out = gate_a * (gate_b * params["gru_rel_pos_const"] - 1.0) + 2.0
-        gated_bias = gate_out * position_bias[None]  # [B,H,L,L]
 
         q = linear_apply(params["q_proj"], x).reshape(b, l, h, hd).transpose(0, 2, 1, 3)
         k = linear_apply(params["k_proj"], x).reshape(b, l, h, hd).transpose(0, 2, 1, 3)
         v = linear_apply(params["v_proj"], x).reshape(b, l, h, hd).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q / math.sqrt(hd), k,
-                            preferred_element_type=jnp.float32)
-        scores = scores + gated_bias.astype(scores.dtype)
-        if kpm_bias is not None:
-            scores = scores + kpm_bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        from ..ops.wavlm_attention import use_fused, wavlm_fused_attention
+
+        if use_fused(l, hd):
+            # fused kernel: streams the shared [H,L,L] bias and applies the
+            # gate in-register — avoids the [B,H,L,L] HBM materialisation
+            kpb = (kpm_bias[:, 0, 0, :] if kpm_bias is not None
+                   else jnp.zeros((b, l), jnp.float32))
+            ctx = wavlm_fused_attention(q, k, v, gate_out[..., 0],
+                                        position_bias, kpb)
+        else:
+            gated_bias = gate_out * position_bias[None]  # [B,H,L,L]
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q / math.sqrt(hd), k,
+                                preferred_element_type=jnp.float32)
+            scores = scores + gated_bias.astype(scores.dtype)
+            if kpm_bias is not None:
+                scores = scores + kpm_bias
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
         return linear_apply(params["out_proj"], ctx)
 
