@@ -65,6 +65,9 @@ class TrainConfig:
     schedule: str = "warmup_cosine"  # warmup_cosine | constant
     # numerics
     compute_dtype: Any = jnp.float32  # jnp.bfloat16 on TPU
+    # memory: rematerialise the forward in backward (trades FLOPs for HBM —
+    # activations of the L_a x L_t attention stack dominate at long L)
+    remat: bool = False
 
 
 def make_schedule(cfg: TrainConfig):
@@ -116,9 +119,12 @@ def _compute_loss(model, cfg: TrainConfig, params, batch, rng, train: bool):
         )
         params, h_a, h_t = cast(params), cast(h_a), cast(h_t)
 
-    logits, beta, _ = model.apply(
-        params, h_a, h_t, mask_a, mask_t, train=train, rng=rng
-    )
+    def fwd(params, h_a, h_t, mask_a, mask_t):
+        return model.apply(params, h_a, h_t, mask_a, mask_t, train=train, rng=rng)
+
+    if cfg.remat and train:
+        fwd = jax.checkpoint(fwd)
+    logits, beta, _ = fwd(params, h_a, h_t, mask_a, mask_t)
     logits = logits.astype(jnp.float32)
     beta = beta.astype(jnp.float32)
 

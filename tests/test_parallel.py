@@ -117,3 +117,19 @@ def test_eval_step_sharded():
     loss, logits, beta = ev(model.params, _batch(16, seed=3))
     assert logits.shape == (16, 6)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_remat_matches_plain():
+    """jax.checkpoint remat gives identical loss/grads (FLOPs-for-memory)."""
+    model = _model()
+    batch = _batch(8, seed=5)
+    base = dict(loss_type="multi_label", lr=1e-3, schedule="constant", total_steps=10)
+    cfg_plain = TrainConfig(**base)
+    cfg_remat = TrainConfig(**base, remat=True)
+
+    s1 = create_train_state(model, cfg_plain, rng=jax.random.key(0))
+    s2 = create_train_state(model, cfg_remat, rng=jax.random.key(0))
+    st1, m1 = make_train_step(model, cfg_plain, donate=False)(s1, batch, jax.random.key(3))
+    st2, m2 = make_train_step(model, cfg_remat, donate=False)(s2, batch, jax.random.key(3))
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), abs=1e-7)
+    assert float(m1["grad_norm"]) == pytest.approx(float(m2["grad_norm"]), rel=1e-6)
