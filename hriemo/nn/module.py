@@ -59,6 +59,10 @@ class Module:
         self._params = value
 
     def __call__(self, *args, **kwargs):
+        # coerce torch tensors / numpy arrays so reference-style callers
+        # (e.g. the upstream tests/ scripts) work unchanged
+        args = tuple(_coerce(a) for a in args)
+        kwargs = {k: _coerce(v) for k, v in kwargs.items()}
         return self.apply(self.params, *args, **kwargs)
 
     # ---- state-dict style access (flat, torch-compatible names) ----
@@ -89,6 +93,15 @@ class Module:
             new_flat[name] = arr.astype(ref.dtype)
         self._params = unflatten_params(new_flat)
         return self
+
+
+def _coerce(x):
+    """torch.Tensor / np.ndarray → jnp; everything else passes through."""
+    if hasattr(x, "detach"):  # torch tensor
+        return jnp.asarray(x.detach().cpu().numpy())
+    if type(x).__module__ == "numpy" and hasattr(x, "shape"):
+        return jnp.asarray(x)
+    return x
 
 
 def _to_jnp(x) -> jnp.ndarray:

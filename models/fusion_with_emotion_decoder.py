@@ -1,0 +1,8 @@
+"""Compatibility alias: the reference's import path.
+
+Upstream code does ``from models.fusion_with_emotion_decoder import FusionWithEmotionDecoder`` — this package
+forwards to :mod:`hriemo.models` so reference scripts and tests run
+unchanged (torch/numpy inputs are coerced by Module.__call__).
+"""
+
+from hriemo.models.fusion_with_emotion_decoder import FusionWithEmotionDecoder
