@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""End-to-end inference CLI: raw audio + transcripts → emotion probabilities.
+
+The reference runs this as three offline stages (extract → save .pt →
+infer); here one command drives the streaming pipeline (on-device WavLM +
+BERT → fusion → decoder, one compiled graph per length bucket, host
+preprocessing double-buffered — BASELINE.json configs[4]).
+
+Input: an IEMOCAP-style index CSV with ``audio_path`` and ``text`` columns
+(built by hriemo.dataprep.iemocap_index). Weights: HF state dicts for the
+frontends plus a reference-layout fusion checkpoint; ``--random_init``
+validates the pipeline without weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index_csv", type=str, required=True)
+    ap.add_argument("--split", type=str, default=None,
+                    help="filter the index's split column (optional)")
+    ap.add_argument("--audio_col", type=str, default="audio_path")
+    ap.add_argument("--text_col", type=str, default="text")
+    ap.add_argument("--uid_col", type=str, default=None)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--max_seconds", type=float, default=10.0)
+    ap.add_argument("--bucket_seconds", type=float, nargs="+",
+                    default=[2.5, 5.0, 7.5, 10.0])
+    ap.add_argument("--max_tokens", type=int, default=128)
+    # weights
+    ap.add_argument("--wavlm_state_dict", type=str, default=None)
+    ap.add_argument("--bert_state_dict", type=str, default=None)
+    ap.add_argument("--vocab_file", type=str, default=None)
+    ap.add_argument("--fusion_ckpt", type=str, default=None,
+                    help="reference-layout best_*.pt for the fusion stack")
+    ap.add_argument("--num_emotions", type=int, default=4)
+    ap.add_argument("--random_init", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--amp_dtype", type=str, default="bf16", choices=["bf16", "off"])
+    ap.add_argument("--multi_label", action="store_true")
+    ap.add_argument("--out_dir", type=str, default="outputs/e2e_infer")
+    return ap.parse_args(argv)
+
+
+def main(argv=None):
+    import pandas as pd
+    import jax.numpy as jnp
+
+    from ..dataprep.audio import prepare_waveform
+    from ..dataprep.extract_iemocap import _HashTokenizer, _load_sd
+    from ..frontends import BertConfig, BertEncoder, WavLMConfig, WavLMEncoder
+    from ..models import FusionWithEmotionDecoder
+    from ..utils import checkpoint as C
+    from .streaming import StreamingPipeline
+
+    args = parse_args(argv)
+
+    wcfg = WavLMConfig.tiny() if args.tiny else WavLMConfig.base_plus()
+    bcfg = BertConfig.tiny() if args.tiny else BertConfig.base_uncased()
+    wavlm, bert = WavLMEncoder(wcfg), BertEncoder(bcfg)
+    if args.wavlm_state_dict:
+        wavlm.from_torch_state_dict(_load_sd(args.wavlm_state_dict))
+    elif not args.random_init:
+        raise SystemExit("need --wavlm_state_dict (or --random_init)")
+    if args.bert_state_dict:
+        bert.from_torch_state_dict(_load_sd(args.bert_state_dict))
+    elif not args.random_init:
+        raise SystemExit("need --bert_state_dict (or --random_init)")
+
+    d_model = wcfg.hidden_size
+    assert bcfg.hidden_size == d_model, "frontend hidden sizes must match"
+    fusion = FusionWithEmotionDecoder(
+        d_model=d_model, num_emotions=args.num_emotions,
+        n_heads=4 if args.tiny else 8,
+        num_layers_fusion=2, num_layers_decoder=2,
+        beta_hidden=max(16, d_model // 3), dropout=0.1,
+    )
+    if args.fusion_ckpt:
+        ckpt = C.load_torch_checkpoint(args.fusion_ckpt)
+        ck = ckpt.get("args", {})
+        fusion = FusionWithEmotionDecoder(
+            d_model=ck.get("d_model", d_model),
+            num_emotions=len(ckpt.get("emo_cols", [])) or args.num_emotions,
+            n_heads=ck.get("n_heads", 8),
+            num_layers_fusion=ck.get("num_layers_fusion", 2),
+            num_layers_decoder=ck.get("num_layers_decoder", 2),
+            beta_hidden=ck.get("beta_hidden", 256),
+            dropout=ck.get("dropout", 0.1),
+        )
+        fusion.params = C.params_from_state_dict(
+            ckpt["model_state_dict"], like=fusion.params)
+
+    if args.vocab_file:
+        from transformers import BertTokenizerFast
+
+        tokenizer = BertTokenizerFast(vocab_file=args.vocab_file, do_lower_case=True)
+    else:
+        tokenizer = _HashTokenizer(bcfg.vocab_size)
+        if not args.random_init:
+            print("[e2e] WARNING: hash tokenizer in use (no --vocab_file)")
+
+    pipe = StreamingPipeline(
+        wavlm, bert, fusion, tokenizer=tokenizer,
+        max_seconds=args.max_seconds, max_tokens=args.max_tokens,
+        compute_dtype=jnp.bfloat16 if args.amp_dtype == "bf16" else jnp.float32,
+        multi_label=args.multi_label,
+        bucket_seconds=tuple(args.bucket_seconds),
+    )
+
+    df = pd.read_csv(args.index_csv)
+    if args.split and "split" in df.columns:
+        df = df[df["split"] == args.split]
+    from ..data.datasets import resolve_uid_col
+
+    uid_col = resolve_uid_col(df, args.uid_col)
+
+    def batches():
+        rows = list(df.itertuples())
+        for i in range(0, len(rows), args.batch_size):
+            chunk = rows[i : i + args.batch_size]
+            wavs = [prepare_waveform(getattr(r, args.audio_col), pad=False,
+                                     max_seconds=args.max_seconds)[0]
+                    for r in chunk]
+            texts = [str(getattr(r, args.text_col)) for r in chunk]
+            uids = [str(getattr(r, uid_col)) for r in chunk]
+            yield wavs, texts, uids
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    all_probs, all_uids, all_betas = [], [], []
+    for probs, beta, uids in pipe.stream(batches()):
+        all_probs.append(probs)
+        all_betas.append(beta.reshape(len(uids), -1).mean(axis=1))
+        all_uids.extend(uids)
+
+    probs = np.concatenate(all_probs) if all_probs else np.zeros((0, args.num_emotions))
+    split = args.split or "all"
+    np.save(out_dir / f"{split}_y_prob.npy", probs)
+    np.save(out_dir / f"{split}_beta_mean.npy", np.concatenate(all_betas))
+    with open(out_dir / f"{split}_uids.txt", "w") as f:
+        f.write("\n".join(all_uids))
+    print(f"[e2e] {len(all_uids)} utterances → {out_dir}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

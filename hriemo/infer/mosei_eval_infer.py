@@ -63,8 +63,11 @@ def run_split(model, params, ds, split, args, out_dir: Path, compute_dtype):
     from ..data import BucketBatcher
     from ..data.batching import prefetch_to_device
 
-    la = args.max_len_audio or 1
-    lt = args.max_len_text or 1
+    # uncapped (max_len == 0): bucket at the split's true maximum length
+    la = args.max_len_audio or max(
+        (ds[i]["h_a"].shape[0] for i in range(len(ds))), default=1)
+    lt = args.max_len_text or max(
+        (ds[i]["h_t"].shape[0] for i in range(len(ds))), default=1)
     loader = BucketBatcher(ds, args.batch_size, la=la, lt=lt, drop_last=False)
 
     cast_params = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), params)

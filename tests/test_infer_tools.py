@@ -133,3 +133,31 @@ def test_plot_results_tool(trained):
               "confusion_matrices.png", "beta_distribution.png",
               "attention_sample0.png", "case_study.txt"):
         assert (out / f).exists(), f
+
+
+def test_infer_uncapped_lengths(trained):
+    """max_len 0 must bucket at the corpus max, not crop to 1 (regression).
+
+    The ckpt-args override supplies max_len, so strip it from a copy of the
+    checkpoint to genuinely exercise the uncapped path.
+    """
+    import numpy as np
+    from hriemo.infer.mosei_eval_infer import main as infer_main
+    from hriemo.utils.checkpoint import load_torch_checkpoint, save_torch_checkpoint
+
+    ckpt = load_torch_checkpoint(trained["ckpt"])
+    ckpt["args"]["max_len_audio"] = 0
+    ckpt["args"]["max_len_text"] = 0
+    uncapped_ckpt = str(trained["root"] / "uncapped.pt")
+    save_torch_checkpoint(uncapped_ckpt, ckpt)
+
+    pred_dir = trained["root"] / "preds_uncapped"
+    infer_main(["--ckpt", uncapped_ckpt, "--index_csv", trained["index_csv"],
+                "--audio_dir", trained["audio_dir"], "--text_dir", trained["text_dir"],
+                "--splits", "val", "--batch_size", "4", "--amp_dtype", "off",
+                "--out_dir", str(pred_dir)])
+    probs = np.load(pred_dir / "val_y_prob.npy")
+    assert probs.shape[1] == 6 and np.isfinite(probs).all()
+    # probabilities must not be degenerate (cropping to length 1 would
+    # collapse them to near-identical rows)
+    assert np.abs(probs - probs[0]).max() > 1e-4

@@ -61,3 +61,27 @@ def test_waveform_longer_than_cap_truncated(pipe):
     rng = np.random.default_rng(2)
     probs, _ = pipe.infer([rng.standard_normal(100_000).astype(np.float32)], ["x"])
     assert probs.shape == (1, 4)
+
+
+def test_e2e_infer_cli(tmp_path):
+    """Raw fake IEMOCAP corpus -> index -> e2e CLI -> probability artifacts."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_dataprep import make_fake_iemocap
+    from hriemo.dataprep.iemocap_index import main as index_main
+    from hriemo.infer.e2e_infer import main as e2e_main
+
+    root = make_fake_iemocap(tmp_path / "corpus", sessions=(1, 5), utts_per_session=5)
+    idx = index_main(["--base", str(root), "--out_dir", str(tmp_path / "data")])
+
+    out = e2e_main(["--index_csv", str(idx), "--split", "test",
+                    "--batch_size", "4", "--tiny", "--random_init",
+                    "--max_seconds", "0.6", "--bucket_seconds", "0.3", "0.6",
+                    "--max_tokens", "8", "--amp_dtype", "off",
+                    "--out_dir", str(tmp_path / "out")])
+    probs = np.load(out / "test_y_prob.npy")
+    uids = (out / "test_uids.txt").read_text().splitlines()
+    assert probs.shape[0] == len(uids) > 0
+    assert np.isfinite(probs).all()
+    beta = np.load(out / "test_beta_mean.npy")
+    assert beta.shape == (len(uids),)
