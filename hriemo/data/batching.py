@@ -74,6 +74,7 @@ class BucketBatcher:
         grad_accum: int = 1,
         utter_level: bool = False,
         native: bool = False,
+        host_shard: tuple[int, int] | None = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -83,6 +84,11 @@ class BucketBatcher:
         self.drop_last = drop_last
         self.grad_accum = grad_accum
         self.utter_level = utter_level
+        # multi-host SPMD input: each host iterates a disjoint slice of the
+        # (identically shuffled) index — pass (jax.process_index(),
+        # jax.process_count()); the per-host batch then feeds that host's
+        # local devices under the global mesh.
+        self.host_shard = host_shard
         self.epoch = 0
         # C++ threaded batch assembly (native/feature_loader.cpp): needs a
         # path-backed seq-level dataset; silently falls back otherwise.
@@ -113,6 +119,9 @@ class BucketBatcher:
     def __len__(self):
         full = self.batch_size * self.grad_accum
         n = len(self.ds)
+        if self.host_shard is not None:
+            idx, count = self.host_shard
+            n = len(range(idx, n, count))
         return n // full if self.drop_last else -(-n // full)
 
     def __iter__(self):
@@ -121,6 +130,10 @@ class BucketBatcher:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
+        if self.host_shard is not None:
+            idx, count = self.host_shard
+            order = order[idx::count]
+            n = len(order)
         self.epoch += 1
 
         full = self.batch_size * self.grad_accum

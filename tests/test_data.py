@@ -141,3 +141,22 @@ def test_meta_roundtrip(tmp_path):
     _, audio, _ = make_synthetic_mosei(tmp_path, n=4)
     meta = read_meta(audio)
     assert hidden_dim_from_meta(meta) == 74
+
+
+def test_host_sharded_batching(tmp_path):
+    """Multi-host input: shards are disjoint, cover everything, same shuffle."""
+    csv, audio, text = make_synthetic_mosei(tmp_path, n=24, max_la=10, max_lt=6)
+    df = pd.read_csv(csv)
+    ds = SeqLevelDataset(df, audio, text,
+                         emo_cols=[c for c in df.columns if c.startswith("emo_")],
+                         verbose=False)
+    seen = []
+    for host in range(3):
+        bb = BucketBatcher(ds, batch_size=4, la=12, lt=8, shuffle=True, seed=7,
+                           drop_last=False, host_shard=(host, 3))
+        uids = [u for b in bb for u in b["uids"]]
+        seen.append(uids)
+    flat = [u for host_uids in seen for u in host_uids]
+    assert len(flat) == 24
+    assert len(set(flat)) == 24  # disjoint and complete
+    assert len(BucketBatcher(ds, 4, la=12, lt=8, host_shard=(0, 3))) == 2
