@@ -87,7 +87,15 @@ class BucketBatcher:
         # multi-host SPMD input: each host iterates a disjoint slice of the
         # (identically shuffled) index — pass (jax.process_index(),
         # jax.process_count()); the per-host batch then feeds that host's
-        # local devices under the global mesh.
+        # local devices under the global mesh. Shards are equalised (see
+        # _host_order) so every host yields the SAME number of batches —
+        # unequal counts would deadlock the global-collective train step.
+        if host_shard is not None:
+            hidx, hcount = host_shard
+            if not (isinstance(hidx, int) and isinstance(hcount, int)
+                    and 0 <= hidx < hcount):
+                raise ValueError(f"host_shard must be (index, count) with "
+                                 f"0 <= index < count, got {host_shard}")
         self.host_shard = host_shard
         self.epoch = 0
         # C++ threaded batch assembly (native/feature_loader.cpp): needs a
@@ -97,6 +105,29 @@ class BucketBatcher:
             from .. import native as native_mod
 
             self.native = native_mod.is_available()
+
+    def _host_n(self) -> int:
+        """Per-host item count (equal on every host)."""
+        n = len(self.ds)
+        if self.host_shard is None:
+            return n
+        _, hcount = self.host_shard
+        if self.drop_last:
+            return n // hcount          # truncate: all hosts equal
+        return -(-n // hcount)          # pad by wrapping: all hosts equal
+
+    def _host_order(self, order: np.ndarray) -> np.ndarray:
+        if self.host_shard is None:
+            return order
+        hidx, hcount = self.host_shard
+        per_host = self._host_n()
+        if self.drop_last:
+            order = order[: per_host * hcount]
+        else:
+            pad = per_host * hcount - len(order)
+            if pad:
+                order = np.concatenate([order, order[:pad]])  # wrap
+        return order[hidx::hcount]
 
     def _native_batch(self, idx) -> dict:
         from .. import native as native_mod
@@ -118,22 +149,16 @@ class BucketBatcher:
 
     def __len__(self):
         full = self.batch_size * self.grad_accum
-        n = len(self.ds)
-        if self.host_shard is not None:
-            idx, count = self.host_shard
-            n = len(range(idx, n, count))
+        n = self._host_n()
         return n // full if self.drop_last else -(-n // full)
 
     def __iter__(self):
-        n = len(self.ds)
-        order = np.arange(n)
+        order = np.arange(len(self.ds))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
-        if self.host_shard is not None:
-            idx, count = self.host_shard
-            order = order[idx::count]
-            n = len(order)
+        order = self._host_order(order)
+        n = len(order)
         self.epoch += 1
 
         full = self.batch_size * self.grad_accum

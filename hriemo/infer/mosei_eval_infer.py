@@ -78,8 +78,9 @@ def run_split(model, params, ds, split, args, out_dir: Path, compute_dtype):
                                       h_t.astype(compute_dtype), mask_a, mask_t)
         return jax.nn.sigmoid(logits.astype(jnp.float32)), beta.astype(jnp.float32)
 
-    def fwd_attn(p, h_a, h_t, mask_a, mask_t):
+    def fwd_attn(h_a, h_t, mask_a, mask_t):
         # fp32 weights-materialising path for interpretability export
+        # (uses the uncast fp32 params on purpose — exported maps stay fp32)
         logits, beta, _, pack = model.apply(params, h_a, h_t, mask_a, mask_t,
                                             return_attention=True)
         return jax.nn.sigmoid(logits), beta, pack
@@ -91,9 +92,13 @@ def run_split(model, params, ds, split, args, out_dir: Path, compute_dtype):
         n_valid = batch.pop("n_valid")
         batch.pop("uids", None)
         y = batch.pop("y", None)
+        # probabilities ALWAYS come from the fast path so y_prob.npy is
+        # identical with and without --dump_attn
+        p, beta = fwd(cast_params, batch["h_a"], batch["h_t"],
+                      batch["mask_a"], batch["mask_t"])
         if args.dump_attn and n_attn < args.attn_max_samples:
-            p, beta, pack = fwd_attn(cast_params, batch["h_a"], batch["h_t"],
-                                     batch["mask_a"], batch["mask_t"])
+            _, _, pack = fwd_attn(batch["h_a"], batch["h_t"],
+                                  batch["mask_a"], batch["mask_t"])
             take = min(n_valid, args.attn_max_samples - n_attn)
             enc = [{k: np.asarray(v)[:take] for k, v in layer.items()}
                    for layer in pack["encoder"]]
@@ -101,9 +106,6 @@ def run_split(model, params, ds, split, args, out_dir: Path, compute_dtype):
             attn_batches["encoder"].append(enc)
             attn_batches["decoder"].append(dec)
             n_attn += take
-        else:
-            p, beta = fwd(cast_params, batch["h_a"], batch["h_t"],
-                          batch["mask_a"], batch["mask_t"])
         probs.append(np.asarray(p)[:n_valid])
         if y is not None:
             ys.append(np.asarray(y)[:n_valid])

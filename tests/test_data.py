@@ -160,3 +160,27 @@ def test_host_sharded_batching(tmp_path):
     assert len(flat) == 24
     assert len(set(flat)) == 24  # disjoint and complete
     assert len(BucketBatcher(ds, 4, la=12, lt=8, host_shard=(0, 3))) == 2
+
+
+def test_host_shards_equal_batch_counts_uneven(tmp_path):
+    """Uneven corpus: every host must yield the SAME number of batches, or
+    the global-collective train step deadlocks (code-review finding)."""
+    csv, audio, text = make_synthetic_mosei(tmp_path, n=22, max_la=10, max_lt=6)
+    df = pd.read_csv(csv)
+    ds = SeqLevelDataset(df, audio, text,
+                         emo_cols=[c for c in df.columns if c.startswith("emo_")],
+                         verbose=False)
+    for drop_last in (True, False):
+        counts = []
+        for host in range(3):
+            bb = BucketBatcher(ds, batch_size=4, la=12, lt=8, shuffle=True,
+                               seed=7, drop_last=drop_last, host_shard=(host, 3))
+            n_batches = sum(1 for _ in bb)
+            assert n_batches == len(bb)
+            counts.append(n_batches)
+        assert len(set(counts)) == 1, (drop_last, counts)
+
+    # malformed host_shard rejected at construction
+    for bad in ((-1, 3), (3, 3), (0, 0)):
+        with pytest.raises(ValueError):
+            BucketBatcher(ds, 4, la=12, lt=8, host_shard=bad)
