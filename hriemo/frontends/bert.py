@@ -98,7 +98,6 @@ class BertEncoder(Module):
                 "LayerNorm": nrm(),
             },
             "encoder": {"layer": {}},
-            "pooler": {"dense": lin(d, d)},
         }
         for i in range(cfg.num_hidden_layers):
             params["encoder"]["layer"][str(i)] = {
@@ -115,6 +114,12 @@ class BertEncoder(Module):
         """input_ids [B,L] int; attention_mask [B,L] 1=valid (HF convention)."""
         cfg = self.config
         b, l = input_ids.shape
+        if l > cfg.max_position_embeddings:
+            # JAX gather would silently clamp to the last position embedding
+            # where torch raises — fail loudly instead (review finding)
+            raise ValueError(
+                f"sequence length {l} exceeds max_position_embeddings "
+                f"{cfg.max_position_embeddings}")
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
         pos_ids = jnp.arange(l)[None, :]
@@ -149,19 +154,32 @@ class BertEncoder(Module):
         return x, pooled
 
     def from_torch_state_dict(self, sd: dict):
-        """Load an HF ``BertModel`` state dict (tensor names preserved)."""
-        from ..nn.module import unflatten_params
+        """Load an HF ``BertModel`` state dict (tensor names preserved).
+
+        Names and shapes are validated against the expected tree (via
+        ``jax.eval_shape`` — no weights are materialised for the check).
+        HF's ``pooler.*`` (unused here — we masked-mean pool) and the
+        ``position_ids`` buffer are skipped.
+        """
+        from ..nn.module import flatten_params, unflatten_params
 
         flat = {}
-        like = dict(self.params)  # ensure initialised
         for name, tensor in sd.items():
             if name.startswith("bert."):
                 name = name[len("bert."):]
             if name.startswith("pooler.") or "position_ids" in name:
-                continue  # we do masked-mean pooling; buffer not a param
+                continue
             arr = jnp.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor)
             flat[name] = arr
-        tree = unflatten_params(flat)
-        tree["pooler"] = like["pooler"]  # keep (unused) pooler slot
-        self.params = tree
+        expected = flatten_params(jax.eval_shape(self.init, jax.random.key(0)))
+        missing = sorted(set(expected) - set(flat))
+        unexpected = sorted(set(flat) - set(expected))
+        if missing or unexpected:
+            raise KeyError(f"BERT state_dict mismatch: missing={missing[:6]} "
+                           f"unexpected={unexpected[:6]}")
+        for name, spec in expected.items():
+            if tuple(flat[name].shape) != tuple(spec.shape):
+                raise ValueError(f"shape mismatch for {name}: "
+                                 f"{flat[name].shape} vs {spec.shape}")
+        self.params = unflatten_params(flat)
         return self

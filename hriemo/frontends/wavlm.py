@@ -329,5 +329,17 @@ class WavLMEncoder(Module):
             norm = np.sqrt((pos_v ** 2).sum(axis=(0, 1), keepdims=True))
             flat["encoder.pos_conv_embed.conv.weight"] = jnp.asarray(pos_g * pos_v / norm)
 
+        from ..nn.module import flatten_params
+
+        expected = flatten_params(jax.eval_shape(self.init, jax.random.key(0)))
+        missing = sorted(set(expected) - set(flat))
+        unexpected = sorted(set(flat) - set(expected))
+        if missing or unexpected:
+            raise KeyError(f"WavLM state_dict mismatch: missing={missing[:6]} "
+                           f"unexpected={unexpected[:6]}")
+        for name, spec in expected.items():
+            if tuple(flat[name].shape) != tuple(spec.shape):
+                raise ValueError(f"shape mismatch for {name}: "
+                                 f"{flat[name].shape} vs {spec.shape}")
         self.params = unflatten_params(flat)
         return self

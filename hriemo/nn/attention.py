@@ -98,7 +98,7 @@ def mha_apply(
     k = _split_heads(k, n_heads)  # [B, H, Lk, hd]
     v = _split_heads(v, n_heads)
 
-    attn_dropout_active = train and dropout_rate > 0.0 and dropout_key is not None
+    attn_dropout_active = train and dropout_rate > 0.0
     weights = None
 
     if use_kernel is None:
@@ -107,6 +107,13 @@ def mha_apply(
             and not attn_dropout_active
             and _kernel_available()
         )
+    elif use_kernel and (need_weights or attn_dropout_active):
+        # the fused kernel never materialises probabilities, so it cannot
+        # export weights nor apply attention dropout — forcing it in these
+        # modes would silently drop both (review finding)
+        raise ValueError(
+            "use_kernel=True is incompatible with need_weights=True or "
+            "train-mode attention dropout")
 
     if use_kernel:
         from ..ops.flash_attention import flash_mha

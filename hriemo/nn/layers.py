@@ -43,9 +43,18 @@ def layer_norm_apply(p, x, eps: float = 1e-5):
 
 
 def dropout(x, rate: float, key, train: bool):
-    """Inverted dropout matching torch semantics; identity when not training."""
-    if not train or rate == 0.0 or key is None:
+    """Inverted dropout matching torch semantics; identity when not training.
+
+    A training call with a positive rate MUST supply a key — silently
+    skipping dropout would diverge from the reference recipe with no
+    warning (review finding).
+    """
+    if not train or rate == 0.0:
         return x
+    if key is None:
+        raise ValueError(
+            "dropout: train=True with rate>0 requires an rng key — pass "
+            "rng=... to apply() (or train=False for deterministic eval)")
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

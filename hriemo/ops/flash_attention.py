@@ -28,17 +28,19 @@ from ..core.masking import NEG_INF
 
 
 def _xla_sdpa(q, k, v, key_padding_mask):
-    """Reference scaled-dot-product attention (XLA-fused fallback)."""
-    scale = 1.0 / math.sqrt(q.shape[-1])
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-    )
-    if key_padding_mask is not None:
-        scores = scores + jnp.where(key_padding_mask, NEG_INF, 0.0).astype(
-            scores.dtype
-        )[:, None, None, :]
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    """Reference scaled-dot-product attention (XLA-fused fallback).
+
+    Delegates to the single shared reference implementation so the kernel
+    backward and this fallback can never diverge numerically.
+    """
+    from .flash_attention_pallas import _xla_reference
+
+    lk = k.shape[2]
+    if key_padding_mask is None:
+        bias = jnp.zeros((q.shape[0], lk), jnp.float32)
+    else:
+        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
+    return _xla_reference(q, k, v, bias)
 
 
 def _use_pallas(q_shape, k_shape) -> bool:

@@ -51,6 +51,12 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
         assert n_total % n_model == 0, (n_total, n_model)
         n_data = n_total // n_model
     assert n_data * n_model <= n_total, (n_data, n_model, n_total)
+    if n_data * n_model < n_total:
+        import warnings
+
+        warnings.warn(
+            f"make_mesh: using {n_data * n_model} of {n_total} devices — "
+            f"{n_total - n_data * n_model} chips left idle", stacklevel=2)
     dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
@@ -73,11 +79,15 @@ def param_shardings(mesh: Mesh, params: dict, enable_tp: bool = True) -> dict:
     return unflatten_params(out)
 
 
-def batch_shardings(mesh: Mesh, batch: dict) -> dict:
-    """Shard every batch leaf on its leading (batch) dim over the data axis."""
-    return {
-        k: NamedSharding(mesh, P(DATA_AXIS)) for k in batch
-    }
+def batch_shardings(mesh: Mesh, keys, grad_accum: int = 1) -> dict:
+    """Shardings for a train/eval batch dict.
+
+    With ``grad_accum > 1`` the batch layout is ``[accum, micro, ...]`` —
+    the accumulation axis stays replicated and the *micro* axis is data-
+    sharded (sharding dim 0 would skew microbatches across devices).
+    """
+    spec = P(None, DATA_AXIS) if grad_accum > 1 else P(DATA_AXIS)
+    return {k: NamedSharding(mesh, spec) for k in keys}
 
 
 def replicated(mesh: Mesh):

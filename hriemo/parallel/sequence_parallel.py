@@ -29,7 +29,7 @@ from jax.sharding import PartitionSpec as P
 from ..core.masking import NEG_INF
 
 
-def _ring_body(carry, q, axis_name, n_dev):
+def _ring_body(i, carry, q, axis_name, n_dev):
     """One ring step: attend q to the current K/V block, rotate blocks."""
     out, m, l, k_cur, v_cur, bias_cur = carry
 
@@ -45,11 +45,15 @@ def _ring_body(carry, q, axis_name, n_dev):
                     preferred_element_type=jnp.float32)
     out_new = out * alpha + pv
 
-    # rotate K/V/bias to the next ring position (ICI neighbor transfer)
-    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
-    k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
-    v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-    bias_nxt = jax.lax.ppermute(bias_cur, axis_name, perm)
+    # rotate K/V/bias to the next ring position (ICI neighbor transfer);
+    # skip the final rotation — its output would be discarded
+    def rotate(args):
+        perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        return tuple(jax.lax.ppermute(a, axis_name, perm) for a in args)
+
+    k_nxt, v_nxt, bias_nxt = jax.lax.cond(
+        i < n_dev - 1, rotate, lambda args: args, (k_cur, v_cur, bias_cur)
+    )
     return out_new, m_new, l_new, k_nxt, v_nxt, bias_nxt
 
 
@@ -72,7 +76,7 @@ def ring_self_attention(q, k, v, key_padding_mask, axis_name: str):
 
     body = functools.partial(_ring_body, q=q, axis_name=axis_name, n_dev=n_dev)
     carry = (out0, m0, l0, k, v, bias)
-    carry = jax.lax.fori_loop(0, n_dev, lambda i, c: body(c), carry)
+    carry = jax.lax.fori_loop(0, n_dev, body, carry)
     out, m, l = carry[0], carry[1], carry[2]
     return (out / l).astype(q.dtype)
 

@@ -29,7 +29,6 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..train.losses import (
     bce_with_logits,
@@ -38,7 +37,7 @@ from ..train.losses import (
     normalize_mosei_emotions,
     softmax_cross_entropy,
 )
-from .mesh import DATA_AXIS, param_shardings, replicated
+from .mesh import batch_shardings, param_shardings, replicated
 
 
 class TrainState(NamedTuple):
@@ -148,11 +147,6 @@ def _compute_loss(model, cfg: TrainConfig, params, batch, rng, train: bool):
 BATCH_KEYS = ("h_a", "h_t", "mask_a", "mask_t", "y")
 
 
-def _batch_shardings(mesh, grad_accum: int):
-    spec = P(None, DATA_AXIS) if grad_accum > 1 else P(DATA_AXIS)
-    return {k: NamedSharding(mesh, spec) for k in BATCH_KEYS}
-
-
 def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True):
     """Returns ``step(state, batch, rng) -> (state, metrics)``, jitted.
 
@@ -197,11 +191,16 @@ def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True):
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(state.step + 1, new_params, new_opt)
+        # the schedule is driven by the INNER optimizer count, which does
+        # not advance on NaN-skipped batches — report the lr actually
+        # applied, not sched(step) (review finding)
+        notfinite = getattr(state.opt_state, "total_notfinite", None)
+        lr_pos = state.step if notfinite is None else state.step - notfinite
         metrics = {
             "loss": loss,
             "mean_beta": mean_beta,
             "grad_norm": optax.global_norm(grads),
-            "lr": sched(state.step),
+            "lr": sched(lr_pos),
         }
         return new_state, metrics
 
@@ -210,7 +209,7 @@ def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True):
 
     return jax.jit(
         step_fn,
-        in_shardings=(None, _batch_shardings(mesh, cfg.grad_accum), replicated(mesh)),
+        in_shardings=(None, batch_shardings(mesh, BATCH_KEYS, cfg.grad_accum), replicated(mesh)),
         donate_argnums=(0,) if donate else (),
     )
 
@@ -226,4 +225,4 @@ def make_eval_step(model, cfg: TrainConfig, mesh=None):
 
     if mesh is None:
         return jax.jit(eval_fn)
-    return jax.jit(eval_fn, in_shardings=(None, _batch_shardings(mesh, 1)))
+    return jax.jit(eval_fn, in_shardings=(None, batch_shardings(mesh, BATCH_KEYS)))

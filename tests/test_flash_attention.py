@@ -80,3 +80,42 @@ def test_bf16_path():
     np.testing.assert_allclose(
         np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32), atol=3e-2
     )
+
+
+def test_streaming_reference_matches_dense():
+    """Memory-bounded backward path: streaming scan == dense attention."""
+    from hriemo.ops.flash_attention_pallas import _streaming_reference
+
+    q, k, v = _qkv(lq=100, lk=300, seed=6)
+    mask = np.zeros((2, 300), bool)
+    mask[1, 200:] = True
+    bias = _bias(jnp.asarray(mask))
+    np.testing.assert_allclose(
+        np.asarray(_streaming_reference(q, k, v, bias, blk=128)),
+        np.asarray(_xla_reference(q, k, v, bias)), atol=2e-5)
+    g1 = jax.grad(lambda q: jnp.sum(_streaming_reference(q, k, v, bias, blk=128) ** 2))(q)
+    g2 = jax.grad(lambda q: jnp.sum(_xla_reference(q, k, v, bias) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_use_kernel_forced_incompatible_raises():
+    from hriemo.nn import MultiheadAttention
+    from hriemo.nn.attention import mha_apply
+
+    mha = MultiheadAttention(32, 4)
+    x = jnp.zeros((1, 4, 32))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mha_apply(mha.params, x, x, x, 4, need_weights=True, use_kernel=True)
+
+
+def test_dropout_requires_key_in_train_mode():
+    from hriemo.nn.layers import dropout
+    import pytest as _pytest
+
+    x = jnp.ones((2, 3))
+    with _pytest.raises(ValueError):
+        dropout(x, 0.5, None, train=True)
+    # eval mode and rate 0 stay silent no-ops
+    np.testing.assert_array_equal(np.asarray(dropout(x, 0.5, None, train=False)), 1.0)
+    np.testing.assert_array_equal(np.asarray(dropout(x, 0.0, None, train=True)), 1.0)
