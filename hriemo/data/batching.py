@@ -101,10 +101,17 @@ class BucketBatcher:
         # C++ threaded batch assembly (native/feature_loader.cpp): needs a
         # path-backed seq-level dataset; silently falls back otherwise.
         self.native = False
+        self._native_dims = None
         if native and not utter_level and hasattr(dataset, "_paths"):
             from .. import native as native_mod
 
-            self.native = native_mod.is_available()
+            paths_ok = len(dataset) > 0 and all(
+                str(p).endswith((".npy", ".npz"))
+                for p in dataset._paths[0])  # C++ loader reads npy/npz only
+            self.native = paths_ok and native_mod.is_available()
+            if self.native:
+                item0 = dataset[0]
+                self._native_dims = (item0["h_a"].shape[-1], item0["h_t"].shape[-1])
 
     def _host_n(self) -> int:
         """Per-host item count (equal on every host)."""
@@ -124,9 +131,9 @@ class BucketBatcher:
         if self.drop_last:
             order = order[: per_host * hcount]
         else:
-            pad = per_host * hcount - len(order)
-            if pad:
-                order = np.concatenate([order, order[:pad]])  # wrap
+            target = per_host * hcount
+            if len(order) < target:
+                order = np.resize(order, target)  # cyclic wrap, any deficit
         return order[hidx::hcount]
 
     def _native_batch(self, idx) -> dict:
@@ -135,8 +142,7 @@ class BucketBatcher:
         ds = self.ds
         paths_a = [str(ds._paths[int(i)][0]) for i in idx]
         paths_t = [str(ds._paths[int(i)][1]) for i in idx]
-        d_a = ds[0]["h_a"].shape[-1]
-        d_t = ds[0]["h_t"].shape[-1]
+        d_a, d_t = self._native_dims
         h_a, mask_a = native_mod.assemble_modality(
             paths_a, self.la, d_a, max_len=ds.max_len_audio)
         h_t, mask_t = native_mod.assemble_modality(

@@ -72,6 +72,10 @@ def main(argv=None):
         n_done += 1
 
     csd.close()
+    if n_done == 0:
+        raise SystemExit(
+            f"[extract] no segments extracted ({n_skipped} skipped) — "
+            f"do the index CSV's video_ids match the .csd keys?")
     write_meta(out_dir, hidden_dim=dim, model=f"csd-{args.modality}",
                level="seq", count=n_done)
     print(f"[extract] {n_done} {args.modality} features → {out_dir} "

@@ -140,9 +140,10 @@ def main(argv=None):
         all_uids.extend(uids)
 
     probs = np.concatenate(all_probs) if all_probs else np.zeros((0, args.num_emotions))
+    betas = np.concatenate(all_betas) if all_betas else np.zeros((0,))
     split = args.split or "all"
     np.save(out_dir / f"{split}_y_prob.npy", probs)
-    np.save(out_dir / f"{split}_beta_mean.npy", np.concatenate(all_betas))
+    np.save(out_dir / f"{split}_beta_mean.npy", betas)
     with open(out_dir / f"{split}_uids.txt", "w") as f:
         f.write("\n".join(all_uids))
     print(f"[e2e] {len(all_uids)} utterances → {out_dir}")

@@ -53,7 +53,9 @@ class StreamingPipeline:
         # scales ~linearly with audio length, so this is the single biggest
         # serving-throughput lever (measured on v5e: 305 utt/s at a flat
         # 10 s pad vs 1546 utt/s at 2.5 s). One XLA compile per bucket.
-        self.bucket_seconds = tuple(sorted(bucket_seconds)) or (max_seconds,)
+        # union with max_seconds so clips between the largest bucket and the
+        # cap are padded to the cap rather than silently truncated
+        self.bucket_seconds = tuple(sorted(set(bucket_seconds) | {max_seconds}))
         dt = compute_dtype
         cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dt), t)
         params = {

@@ -37,6 +37,8 @@ def load_xy(df, audio_dir, text_dir, modality, label2id):
     from ..data.datasets import UtterLevelDataset
 
     ds = UtterLevelDataset(df, audio_dir, text_dir, label2id=label2id, verbose=False)
+    if len(ds) == 0:
+        return np.zeros((0, 0), np.float32), np.zeros((0,), np.int64)
     xs, ys = [], []
     for i in range(len(ds)):
         item = ds[i]
@@ -87,7 +89,7 @@ def main(argv=None):
     df = pd.read_csv(args.index_csv)
     df[args.label_col] = df[args.label_col].map(normalize_label)
     df["split"] = df["split"].map(normalize_split)
-    label2id = build_label2id(df[df["split"] == "train"][args.label_col])
+    label2id = build_label2id(df[args.label_col])  # all rows, like the reference
     n_classes = len(label2id)
 
     data = {

@@ -63,7 +63,8 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
 
     df = pd.read_csv(args.index_csv)
-    label2id = build_label2id(df[df[args.split_col] == "train"][args.label_col])
+    # label2id from ALL rows, like the reference
+    label2id = build_label2id(df[args.label_col])
     mk = lambda d: SeqLevelDataset(
         d, args.audio_dir, args.text_dir, uid_col=args.uid_col,
         label_col=args.label_col, label2id=label2id,
@@ -77,7 +78,14 @@ def main(argv=None):
         num_layers=args.num_layers, beta_hidden=args.beta_hidden, dropout=args.dropout,
     )
 
+    # uncapped (0): bucket at the corpus max (zero-length buckets would
+    # silently train on empty sequences)
     la, lt = args.max_len_audio, args.max_len_text
+    if not la or not lt:
+        las, lts = zip(*((train_ds[i]["h_a"].shape[0], train_ds[i]["h_t"].shape[0])
+                         for i in range(len(train_ds))))
+        la = la or max(las)
+        lt = lt or max(lts)
     train_loader = BucketBatcher(train_ds, args.batch_size, la=la, lt=lt,
                                  shuffle=True, seed=args.seed, drop_last=True)
     val_loader = BucketBatcher(val_ds, args.batch_size, la=la, lt=lt, drop_last=False)

@@ -62,9 +62,13 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
 
     df = pd.read_csv(args.index_csv)
+    # label2id from ALL rows, like the reference (train_fusion_utter_level.py:238)
+    from ..data import build_label2id
+
+    label2id = build_label2id(df[args.label_col])
     train_ds = UtterLevelDataset(df[df[args.split_col] == "train"], args.audio_dir,
-                                 args.text_dir, uid_col=args.uid_col, label_col=args.label_col)
-    label2id = train_ds.label2id
+                                 args.text_dir, uid_col=args.uid_col,
+                                 label_col=args.label_col, label2id=label2id)
     val_ds = UtterLevelDataset(df[df[args.split_col] == "val"], args.audio_dir,
                                args.text_dir, uid_col=args.uid_col,
                                label_col=args.label_col, label2id=label2id)

@@ -155,9 +155,13 @@ def main(argv=None):
         beta_hidden=args.beta_hidden, dropout=args.dropout,
     )
 
-    # bucket lengths: training caps (or corpus max when uncapped)
-    la = args.max_len_audio or max(it["h_a"].shape[0] for it in (train_ds[i] for i in range(len(train_ds))))
-    lt = args.max_len_text or max(it["h_t"].shape[0] for it in (train_ds[i] for i in range(len(train_ds))))
+    # bucket lengths: training caps (or corpus max when uncapped, one pass)
+    la, lt = args.max_len_audio, args.max_len_text
+    if not la or not lt:
+        las, lts = zip(*((it["h_a"].shape[0], it["h_t"].shape[0])
+                         for it in (train_ds[i] for i in range(len(train_ds)))))
+        la = la or max(las)
+        lt = lt or max(lts)
 
     train_loader = BucketBatcher(train_ds, args.batch_size, la=la, lt=lt,
                                  shuffle=True, seed=args.seed,

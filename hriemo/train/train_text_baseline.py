@@ -48,7 +48,7 @@ def main(argv=None):
     df = pd.read_csv(args.index_csv)
     df[args.label_col] = df[args.label_col].map(normalize_label)
     df["split"] = df["split"].map(normalize_split)
-    label2id = build_label2id(df[df["split"] == "train"][args.label_col])
+    label2id = build_label2id(df[args.label_col])  # all rows, like the reference
     n_classes = len(label2id)
 
     data = {
