@@ -112,7 +112,10 @@ def _onepass_impl(q, k, v, bias):
     lk = k.shape[2]
     scale = 1.0 / math.sqrt(hd)
 
-    bq = min(256, ((lq + 127) // 128) * 128)
+    # block size that minimises q-axis padding (see wavlm_attention)
+    _padded = {bq_: -(-lq // bq_) * bq_ for bq_ in (128, 256)}
+    _best = min(_padded.values())
+    bq = max(b_ for b_, p_ in _padded.items() if p_ == _best)
     qp = _pad_to(q.reshape(b * h, lq, hd), 1, bq)
     kp = _pad_to(k.reshape(b * h, lk, hd), 1, 128)
     vp = _pad_to(v.reshape(b * h, lk, hd), 1, 128)

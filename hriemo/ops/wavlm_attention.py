@@ -68,7 +68,11 @@ def _fused_impl(q, k, v, gate, position_bias, key_padding_bias):
     key_padding_bias [B,L] fp32 additive."""
     b, h, l, hd = q.shape
     scale = 1.0 / math.sqrt(hd)
-    bq = min(256, ((l + 127) // 128) * 128)
+    # block size that minimises q-axis padding (374 frames: bq=128 pads to
+    # 384; bq=256 would pad to 512 — 37% wasted MXU work)
+    _padded = {bq_: -(-l // bq_) * bq_ for bq_ in (128, 256)}
+    _best = min(_padded.values())
+    bq = max(b_ for b_, p_ in _padded.items() if p_ == _best)
 
     qp = _pad(q.reshape(b * h, l, hd), 1, bq)
     kp = _pad(k.reshape(b * h, l, hd), 1, 128)
