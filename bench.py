@@ -67,8 +67,12 @@ def main():
         @jax.jit
         def fn(P, wavs, wmask, ids, tmask):
             def body(c, _):
+                # make EVERY branch loop-variant or XLA hoists it out of the
+                # scan and the timing under-counts (verified: invariant work
+                # is amortised across iterations). (c > 9e9) is always 0.
+                ids_v = ids + (c > jnp.asarray(9e9, c.dtype)).astype(ids.dtype)
                 h_a, fmask = wavlm.apply(P["w"], wavs + c, wmask)
-                h_t, _ = bert.apply(P["b"], ids, tmask)
+                h_t, _ = bert.apply(P["b"], ids_v, tmask)
                 logits, _beta, _ = fusion.apply(
                     P["f"], h_a, h_t.astype(h_a.dtype), fmask == 0, tmask == 0)
                 return (jnp.mean(logits.astype(jnp.float32)) * 1e-12).astype(wavs.dtype), None
@@ -117,15 +121,19 @@ def main():
     @jax.jit
     def fusion_fn(p, h_a, h_t, mask_a, mask_t):
         def body(c, _):
-            logits, _b, _ = fusion.apply(p, h_a + c, h_t, mask_a, mask_t)
+            # both modalities loop-variant (anti-hoisting, see e2e body)
+            logits, _b, _ = fusion.apply(p, h_a + c, h_t + c, mask_a, mask_t)
             return (jnp.mean(logits.astype(jnp.float32)) * 1e-12).astype(h_a.dtype), None
         c, _ = jax.lax.scan(body, jnp.zeros((), h_a.dtype), None, length=30)
         return c
 
     float(fusion_fn(P["f"], h_a, h_t, mask_a, mask_t))
-    t0 = time.perf_counter()
-    float(fusion_fn(P["f"], h_a, h_t, mask_a, mask_t))
-    fusion_utt_per_sec = B * 30 / (time.perf_counter() - t0)
+    best = float("inf")
+    for _ in range(2):  # best-of-N over the flaky tunnel (CLAUDE.md)
+        t0 = time.perf_counter()
+        float(fusion_fn(P["f"], h_a, h_t, mask_a, mask_t))
+        best = min(best, time.perf_counter() - t0)
+    fusion_utt_per_sec = B * 30 / best
 
     print(json.dumps({
         "metric": "iemocap_e2e_utterances_per_sec_per_chip_incl_frontends",

@@ -36,12 +36,14 @@ def masked_mean(x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
     Returns:
         ``[B, d]`` pooled features, in ``x.dtype``.
     """
+    # fp32 accumulation: under bf16 compute, valid counts > 256 and long
+    # sums would otherwise round (bf16 cannot represent 499 exactly)
     if mask is None:
-        return jnp.mean(x, axis=1)
-    valid = jnp.logical_not(mask).astype(x.dtype)  # [B, L], 1 = valid
-    denom = jnp.clip(jnp.sum(valid, axis=1, keepdims=True), min=1.0)  # [B, 1]
-    weighted = x * valid[:, :, None]
-    return jnp.sum(weighted, axis=1) / denom
+        return (jnp.sum(x, axis=1, dtype=jnp.float32) / x.shape[1]).astype(x.dtype)
+    valid = jnp.logical_not(mask)
+    denom = jnp.clip(jnp.sum(valid, axis=1, keepdims=True).astype(jnp.float32), min=1.0)
+    weighted = jnp.sum(x * valid[:, :, None].astype(x.dtype), axis=1, dtype=jnp.float32)
+    return (weighted / denom).astype(x.dtype)
 
 
 def invert_valid_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:

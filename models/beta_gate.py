@@ -1,8 +1,14 @@
 """Compatibility alias: the reference's import path.
 
-Upstream code does ``from models.beta_gate import BetaGate, masked_mean`` — this package
-forwards to :mod:`hriemo.models` so reference scripts and tests run
-unchanged (torch/numpy inputs are coerced by Module.__call__).
+Upstream code does ``from models.beta_gate import ...`` — this package forwards
+to :mod:`hriemo.models`. ``masked_mean`` is wrapped so torch/numpy inputs
+coerce (upstream calls it directly on torch tensors).
 """
 
-from hriemo.models.beta_gate import BetaGate, masked_mean
+from hriemo.models.beta_gate import BetaGate
+from hriemo.models.beta_gate import masked_mean as _masked_mean
+from hriemo.nn.module import _coerce
+
+
+def masked_mean(x, mask=None):
+    return _masked_mean(_coerce(x), _coerce(mask))

@@ -15,7 +15,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from hriemo.utils import metrics as M  # noqa: E402
 
-EMO_COLS = ["emo_happy", "emo_sad", "emo_anger", "emo_fear", "emo_disgust", "emo_surprise"]
+from hriemo.data.synthetic import MOSEI_EMO_COLS as EMO_COLS  # noqa: E402
 
 
 def main(argv=None):
@@ -30,13 +30,17 @@ def main(argv=None):
     y_prob = np.load(pred_dir / f"{args.split}_y_prob.npy")
     y_true = M.binarize_truth(np.load(pred_dir / f"{args.split}_y_true.npy"))
 
-    cal_ths, _ = M.calibrate_thresholds(y_true, y_prob)
+    cal_ths = None
     if args.ckpt:
         from hriemo.utils.checkpoint import load_torch_checkpoint
 
         ths = load_torch_checkpoint(args.ckpt).get("val_calibrated_thresholds")
         if ths is not None:
             cal_ths = np.asarray(ths)
+    if cal_ths is None:
+        print(f"[WARN] no --ckpt thresholds: calibrating on the evaluated "
+              f"'{args.split}' split itself — f1_at_calibrated is in-sample")
+        cal_ths, _ = M.calibrate_thresholds(y_true, y_prob)
 
     rows = []
     for c in range(y_true.shape[1]):

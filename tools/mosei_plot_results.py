@@ -24,7 +24,9 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-EMO = ["happy", "sad", "anger", "fear", "disgust", "surprise"]
+from hriemo.data.synthetic import MOSEI_EMO_COLS as _COLS  # noqa: E402
+
+EMO = [c.replace("emo_", "") for c in _COLS]
 
 
 def main(argv=None):
@@ -74,10 +76,15 @@ def main(argv=None):
     plt.close(fig)
 
     # --- predicted-label correlation heatmap (cell 7)
-    if y_pred.std(axis=0).min() > 0:
-        corr = np.corrcoef(y_pred.T)
-    else:
-        corr = np.eye(n_classes)
+    # constant columns (rare classes never crossing threshold) get NaN rows
+    # in corrcoef; compute over the varying columns and identity-fill the rest
+    corr = np.eye(n_classes)
+    varying = np.where(y_pred.std(axis=0) > 0)[0]
+    if len(varying) >= 2:
+        sub = np.corrcoef(y_pred[:, varying].T)
+        for a, i in enumerate(varying):
+            for b_, j in enumerate(varying):
+                corr[i, j] = sub[a, b_]
     fig, ax = plt.subplots(figsize=(5.5, 5))
     im = ax.imshow(corr, vmin=-1, vmax=1, cmap="coolwarm")
     ax.set_xticks(range(n_classes), names, rotation=45)
@@ -133,11 +140,12 @@ def main(argv=None):
                     break
                 fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 4))
                 a = align[s]
-                # crop padded tail (all-zero rows/cols)
-                rows = np.where(a.sum(1) > 0)[0]
-                cols = np.where(a.sum(0) > 0)[0]
-                if len(rows) and len(cols):
-                    a = a[: rows[-1] + 1, : cols[-1] + 1]
+                # crop padded text columns (rows are softmax dists that
+                # always sum to ~1, so only columns are croppable —
+                # same as the reference notebook)
+                cols = np.where(a.sum(0) > 1e-6)[0]
+                if len(cols):
+                    a = a[:, : cols[-1] + 1]
                 ax1.imshow(a, aspect="auto", cmap="viridis")
                 ax1.set_title("Cross-Modal Alignment (audio→text)")
                 ax1.set_xlabel("text position")

@@ -9,7 +9,9 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-EMO_COLS = ["happy", "sad", "anger", "fear", "disgust", "surprise"]
+from hriemo.data.synthetic import MOSEI_EMO_COLS as _COLS  # noqa: E402
+
+EMO_COLS = [c.replace("emo_", "") for c in _COLS]
 
 
 def main(argv=None):
