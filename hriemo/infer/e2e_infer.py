@@ -31,7 +31,7 @@ def parse_args(argv=None):
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--max_seconds", type=float, default=10.0)
     ap.add_argument("--bucket_seconds", type=float, nargs="+",
-                    default=[2.5, 5.0, 7.5, 10.0])
+                    default=[2.5, 5.0, 10.0])  # 7.5 measured slower per-utt than 10 (see bench.py)
     ap.add_argument("--max_tokens", type=int, default=128)
     # weights
     ap.add_argument("--wavlm_state_dict", type=str, default=None)
