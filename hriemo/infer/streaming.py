@@ -53,6 +53,11 @@ class StreamingPipeline:
         # scales ~linearly with audio length, so this is the single biggest
         # serving-throughput lever (measured on v5e: 305 utt/s at a flat
         # 10 s pad vs 1546 utt/s at 2.5 s). One XLA compile per bucket.
+        # Numerics caveat (inherent to WavLM, identical in HF): the layer-0
+        # GroupNorm normalises over the full padded length, so a clip's
+        # features shift slightly with the bucket it lands in. The reference
+        # sidesteps this by always padding to 10 s; pass
+        # bucket_seconds=() to reproduce that exactly.
         # union with max_seconds so clips between the largest bucket and the
         # cap are padded to the cap rather than silently truncated
         self.bucket_seconds = tuple(sorted(set(bucket_seconds) | {max_seconds}))
