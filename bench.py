@@ -62,7 +62,8 @@ def main():
     # delta (max 0.03) is under the bf16 compute noise floor (0.08) this
     # serving path already accepts
     wavlm = WavLMEncoder(dataclasses.replace(WavLMConfig.base_plus(), fast_gelu=True))
-    bert = BertEncoder(BertConfig.base_uncased())
+    bert_cfg = dataclasses.replace(BertConfig.base_uncased(), fast_gelu=True)
+    bert = BertEncoder(bert_cfg)
     fusion = FusionWithEmotionDecoder(
         d_model=768, num_emotions=4, n_heads=8,
         num_layers_fusion=2, num_layers_decoder=2, beta_hidden=256, dropout=0.1,

@@ -36,6 +36,8 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     hidden_dropout_prob: float = 0.1
+    # tanh-approximate GELU (see WavLMConfig.fast_gelu; default False = HF parity)
+    fast_gelu: bool = False
 
     @classmethod
     def base_uncased(cls):
@@ -140,17 +142,19 @@ class BertEncoder(Module):
             x = _attention(lp["attention"], x, bias, cfg.num_attention_heads,
                            cfg.layer_norm_eps)
             h = jax.nn.gelu(linear_apply(lp["intermediate"]["dense"], x),
-                            approximate=False)
+                            approximate=cfg.fast_gelu)
             h = linear_apply(lp["output"]["dense"], h)
             x = layer_norm_apply(lp["output"]["LayerNorm"], x + h, cfg.layer_norm_eps)
 
-        # masked mean pooling (the reference's utterance embedding)
+        # masked mean pooling (the reference's utterance embedding);
+        # fp32 accumulation like hriemo.core.masked_mean
         if attention_mask is not None:
             valid = attention_mask.astype(x.dtype)
-            denom = jnp.clip(valid.sum(axis=1, keepdims=True), min=1.0)
-            pooled = (x * valid[:, :, None]).sum(axis=1) / denom
+            denom = jnp.clip(valid.sum(axis=1, keepdims=True, dtype=jnp.float32), min=1.0)
+            pooled = ((x * valid[:, :, None]).sum(axis=1, dtype=jnp.float32)
+                      / denom).astype(x.dtype)
         else:
-            pooled = x.mean(axis=1)
+            pooled = (x.sum(axis=1, dtype=jnp.float32) / x.shape[1]).astype(x.dtype)
         return x, pooled
 
     def from_torch_state_dict(self, sd: dict):
