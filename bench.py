@@ -12,7 +12,7 @@ the timing.
 Method:
   * utterance durations are drawn from an IEMOCAP-like distribution
     (lognormal, mean ≈ 4.5 s, capped at 10 s — the reference's own cap);
-  * clips are bucketed to {2.5, 5, 7.5, 10} s — the framework's serving
+  * clips are bucketed to {2.5, 5, 10} s — the framework's serving
     strategy (hriemo.infer.streaming bucket_seconds) — and each bucket's
     steady-state ms/batch is measured with a jitted lax.scan closed by a
     scalar fetch (the remote TPU tunnel defers execution until a host

@@ -146,15 +146,11 @@ class BertEncoder(Module):
             h = linear_apply(lp["output"]["dense"], h)
             x = layer_norm_apply(lp["output"]["LayerNorm"], x + h, cfg.layer_norm_eps)
 
-        # masked mean pooling (the reference's utterance embedding);
-        # fp32 accumulation like hriemo.core.masked_mean
-        if attention_mask is not None:
-            valid = attention_mask.astype(x.dtype)
-            denom = jnp.clip(valid.sum(axis=1, keepdims=True, dtype=jnp.float32), min=1.0)
-            pooled = ((x * valid[:, :, None]).sum(axis=1, dtype=jnp.float32)
-                      / denom).astype(x.dtype)
-        else:
-            pooled = (x.sum(axis=1, dtype=jnp.float32) / x.shape[1]).astype(x.dtype)
+        # masked mean pooling (the reference's utterance embedding)
+        from ..core.masking import masked_mean
+
+        pooled = masked_mean(
+            x, None if attention_mask is None else attention_mask == 0)
         return x, pooled
 
     def from_torch_state_dict(self, sd: dict):

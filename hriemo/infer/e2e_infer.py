@@ -67,9 +67,10 @@ def main(argv=None):
     import dataclasses
 
     wcfg = WavLMConfig.tiny() if args.tiny else WavLMConfig.base_plus()
+    bcfg = BertConfig.tiny() if args.tiny else BertConfig.base_uncased()
     if args.fast_gelu:
         wcfg = dataclasses.replace(wcfg, fast_gelu=True)
-    bcfg = BertConfig.tiny() if args.tiny else BertConfig.base_uncased()
+        bcfg = dataclasses.replace(bcfg, fast_gelu=True)
     wavlm, bert = WavLMEncoder(wcfg), BertEncoder(bcfg)
     if args.wavlm_state_dict:
         wavlm.from_torch_state_dict(_load_sd(args.wavlm_state_dict))
