@@ -20,3 +20,8 @@ import jax  # noqa: E402
 # the config knob still wins, so force CPU explicitly for tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running subprocess/e2e tests")
