@@ -60,6 +60,31 @@ def make_synthetic_mosei(
     return csv_path, audio_dir, text_dir
 
 
+def make_seq_temp_fixture(root: str | Path = ".", seed: int = 0) -> Path:
+    """Write the exact feature file the reference's ``tests/test_seq_temp.py``
+    loads (``features/seq_level/text/Ses01F_impro01_F005.pt``), so that
+    data-dependent smoke script runs unchanged without real IEMOCAP data.
+
+    Layout = the seq-level artifact contract (SURVEY.md §1): ``hidden``
+    FloatTensor[L, 768] + ``attention_mask`` LongTensor[L] with 1=valid.
+    """
+    import torch
+
+    path = Path(root) / "features" / "seq_level" / "text" / "Ses01F_impro01_F005.pt"
+    if path.exists():
+        return path
+    rng = np.random.default_rng(seed)
+    l, valid = 128, 97
+    hidden = rng.standard_normal((l, 768)).astype(np.float32)
+    mask = np.zeros(l, np.int64)
+    mask[:valid] = 1
+    hidden[valid:] = 0.0
+    path.parent.mkdir(parents=True, exist_ok=True)
+    torch.save({"hidden": torch.from_numpy(hidden),
+                "attention_mask": torch.from_numpy(mask)}, path)
+    return path
+
+
 def make_synthetic_iemocap(
     root: str | Path,
     n: int = 32,

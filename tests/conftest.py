@@ -25,3 +25,12 @@ jax.config.update("jax_default_matmul_precision", "highest")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running subprocess/e2e tests")
+
+    # tests/test_seq_temp.py is the reference's data-dependent smoke script,
+    # vendored verbatim (VERDICT r1 item 4); it torch.loads a relative
+    # feature path at import time, so materialise a synthetic fixture there.
+    import pathlib
+
+    from hriemo.data.synthetic import make_seq_temp_fixture
+
+    make_seq_temp_fixture(pathlib.Path(__file__).resolve().parent.parent)
