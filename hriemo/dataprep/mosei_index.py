@@ -8,18 +8,18 @@ Behavioral contract:
     (reference :40-55);
   * uid = ``{video_id}_{segment_idx}`` (reference :53);
   * emotion columns keep the **raw scale** (values may be negative);
-  * splits use the official standard folds. mmsdk is unavailable here, so
-    folds are read from a JSON file ``{"train": [vid…], "valid": […],
-    "test": […]}`` (--folds_json, e.g. exported once from
-    mmsdk.cmu_mosei.standard_folds); without it a deterministic
-    hash-by-video fallback split is used with a warning.
+  * splits use the **official standard folds**, resolved via
+    :mod:`hriemo.dataprep.standard_folds` (explicit --folds_json >
+    packaged data file > mmsdk > SDK checkout). If no source is available
+    the builder FAILS unless ``--allow_nonstandard_split`` is passed, in
+    which case a deterministic hash-by-video split is used and every
+    emitted artifact is loudly labeled non-standard.
 """
 
 from __future__ import annotations
 
 import argparse
 import hashlib
-import json
 from pathlib import Path
 
 import numpy as np
@@ -67,19 +67,32 @@ def build_rows(labels_csd: str | Path, folds: dict | None) -> list[dict]:
 def main(argv=None):
     import pandas as pd
 
+    from .standard_folds import FoldsUnavailable, load_standard_folds
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--labels_csd", type=str, required=True)
-    ap.add_argument("--folds_json", type=str, default=None)
+    ap.add_argument("--folds_json", type=str, default=None,
+                    help="explicit folds JSON; default: packaged standard folds")
+    ap.add_argument("--sdk_path", type=str, default=None,
+                    help="CMU-MultimodalSDK checkout to parse folds from")
+    ap.add_argument("--allow_nonstandard_split", action="store_true",
+                    help="opt-in: deterministic hash-by-video split when the "
+                         "official folds are unavailable (NOT comparable to "
+                         "published MOSEI numbers)")
     ap.add_argument("--out_dir", type=str, default="data")
     args = ap.parse_args(argv)
 
-    folds = None
-    if args.folds_json:
-        with open(args.folds_json) as f:
-            folds = json.load(f)
-    else:
-        print("[index] WARNING: no --folds_json; using deterministic hash split "
-              "(NOT the official standard folds)")
+    try:
+        folds = load_standard_folds(args.folds_json, sdk_path=args.sdk_path)
+        print(f"[index] official standard folds: "
+              f"{ {k: len(v) for k, v in folds.items()} }")
+    except FoldsUnavailable as e:
+        if not args.allow_nonstandard_split:
+            raise SystemExit(f"[index] ERROR: {e}")
+        folds = None
+        print("[index] WARNING: using NON-STANDARD deterministic hash split "
+              "(--allow_nonstandard_split). Split membership differs from the "
+              "official CMU-MOSEI folds; numbers are not comparable.")
 
     rows = build_rows(args.labels_csd, folds)
     df = pd.DataFrame(rows)

@@ -197,17 +197,60 @@ def test_mosei_index_and_extraction(mosei_csds, tmp_path):
     assert read_meta(audio_dir)["hidden_dim"] == 74
 
 
-def test_mosei_index_hash_fallback(mosei_csds, tmp_path):
+def test_mosei_index_requires_official_folds(mosei_csds, tmp_path):
+    """No folds source and no opt-in flag -> hard failure (VERDICT r1 #5)."""
     from hriemo.dataprep.mosei_index import main as build_index
 
-    idx = build_index(["--labels_csd", str(mosei_csds / "labels.csd"),
-                       "--out_dir", str(tmp_path)])
+    with pytest.raises(SystemExit, match="standard folds"):
+        build_index(["--labels_csd", str(mosei_csds / "labels.csd"),
+                     "--out_dir", str(tmp_path)])
+
+
+def test_mosei_index_hash_fallback_is_opt_in(mosei_csds, tmp_path):
+    from hriemo.dataprep.mosei_index import main as build_index
+
+    args = ["--labels_csd", str(mosei_csds / "labels.csd"),
+            "--out_dir", str(tmp_path), "--allow_nonstandard_split"]
+    idx = build_index(args)
     df = pd.read_csv(idx)
     assert len(df) == 12
     # hash split is deterministic
-    idx2 = build_index(["--labels_csd", str(mosei_csds / "labels.csd"),
-                        "--out_dir", str(tmp_path)])
+    idx2 = build_index(args)
     pd.testing.assert_frame_equal(df, pd.read_csv(idx2))
+
+
+def test_standard_folds_resolution_chain(tmp_path, monkeypatch):
+    import json
+
+    from hriemo.dataprep import standard_folds as sf
+
+    # 1. SDK-checkout parsing: a synthetic cmu_mosei_std_folds.py
+    sdk = tmp_path / "sdk" / "mmsdk" / "CMU_MOSEI"
+    sdk.mkdir(parents=True)
+    (sdk / "cmu_mosei_std_folds.py").write_text(
+        "standard_train_fold=['a','b']\n"
+        "standard_valid_fold=['c']\n"
+        "standard_test_fold=['d','e']\n")
+    folds = sf.folds_from_sdk_checkout(tmp_path / "sdk")
+    assert folds == {"train": ["a", "b"], "valid": ["c"], "test": ["d", "e"]}
+
+    # 2. exporter tool writes the packaged file; loader picks it up
+    packaged = tmp_path / "packaged.json"
+    from tools.export_mosei_standard_folds import main as export_main
+
+    export_main(["--sdk", str(tmp_path / "sdk"), "--out", str(packaged)])
+    monkeypatch.setattr(sf, "PACKAGED_FOLDS", packaged)
+    assert sf.load_standard_folds() == folds
+
+    # 3. explicit JSON wins over the packaged file; 'val' alias accepted
+    other = tmp_path / "other.json"
+    other.write_text(json.dumps({"train": ["x"], "val": ["y"], "test": ["z"]}))
+    assert sf.load_standard_folds(other)["valid"] == ["y"]
+
+    # 4. nothing available -> FoldsUnavailable
+    monkeypatch.setattr(sf, "PACKAGED_FOLDS", tmp_path / "missing.json")
+    with pytest.raises(sf.FoldsUnavailable):
+        sf.load_standard_folds()
 
 
 # --------------------------------------------------------------- baselines
