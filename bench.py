@@ -10,13 +10,23 @@ are downloadable in this environment); real weights change nothing about
 the timing.
 
 Method:
-  * utterance durations are drawn from an IEMOCAP-like distribution
-    (lognormal, mean ≈ 4.5 s, capped at 10 s — the reference's own cap);
+  * utterance durations are drawn from a lognormal fit to **published
+    IEMOCAP statistics** — 12 h 26 min of audio over 10,039 turns gives a
+    mean of 4.46 s; the commonly cited spread is ±3.06 s (Busso et al.
+    2008, "IEMOCAP: interactive emotional dyadic motion capture
+    database"). Moment-matching a lognormal to (mean 4.46, sd 3.06) gives
+    μ=1.302, σ=0.621; clips are capped at 10 s (the reference's own cap,
+    extract_audio_feats_wavlm_seq.py:26-27). Provenance is recorded in
+    the JSON (``duration_mix``);
   * clips are bucketed to {2.5, 5, 10} s — the framework's serving
     strategy (hriemo.infer.streaming bucket_seconds) — and each bucket's
     steady-state ms/batch is measured with a jitted lax.scan closed by a
     scalar fetch (the remote TPU tunnel defers execution until a host
     fetch, so naive timing lies);
+  * timing is **best-of-5** (the tunnel has ~40 s transients; CLAUDE.md)
+    and the relative spread (max−min)/best across repeats is reported;
+  * per-bucket **MFU** = XLA's compiled-HLO FLOP count ÷ measured time ÷
+    v5e bf16 peak (197 TFLOP/s), so perf progress is auditable;
   * the reported throughput is the duration-distribution-weighted mix;
   * ``p50_ms_per_clip`` is the single-clip (B=1) end-to-end latency at the
     median-duration bucket;
@@ -43,12 +53,27 @@ BUCKETS_S = (2.5, 5.0, 10.0)
 B = 64
 LT = 128
 ITERS = 10
+REPEATS = 5  # best-of-5 over the flaky tunnel (VERDICT r1 weak #5)
+V5E_BF16_PEAK = 197e12  # TFLOP/s, bf16 MXU peak per v5e chip
+
+# Published IEMOCAP duration statistics (Busso et al. 2008): 12h26m over
+# 10,039 turns -> mean 4.46 s; spread ±3.06 s. Lognormal moment match.
+IEMOCAP_MEAN_S = 4.46
+IEMOCAP_SD_S = 3.06
+DURATION_MIX_NOTE = (
+    "lognormal moment-matched to published IEMOCAP stats "
+    f"(mean {IEMOCAP_MEAN_S} s = 12h26m/10039 turns, sd {IEMOCAP_SD_S} s; "
+    "Busso et al. 2008), capped at 10 s (reference's WavLM cap)"
+)
 
 
 def _duration_mix(n=4096, seed=0):
-    """IEMOCAP-like clip durations (s), capped at 10 s."""
+    """IEMOCAP clip durations (s) from the published-stat lognormal fit."""
     rng = np.random.default_rng(seed)
-    d = rng.lognormal(mean=np.log(4.0), sigma=0.5, size=n)
+    cv2 = (IEMOCAP_SD_S / IEMOCAP_MEAN_S) ** 2
+    sigma = np.sqrt(np.log1p(cv2))
+    mu = np.log(IEMOCAP_MEAN_S) - 0.5 * sigma**2
+    d = rng.lognormal(mean=mu, sigma=sigma, size=n)
     return np.clip(d, 0.6, 10.0)
 
 
@@ -89,6 +114,27 @@ def main():
             return c
         return fn
 
+    @jax.jit
+    def _single_forward(P, wavs, wmask, ids, tmask):
+        # one un-scanned forward, used ONLY for FLOP accounting (XLA's cost
+        # analysis counts a while-loop body once, so analysing the timed
+        # scan version would under-count by the trip count — verified 8.7x)
+        h_a, fmask = wavlm.apply(P["w"], wavs, wmask)
+        h_t, _ = bert.apply(P["b"], ids, tmask)
+        logits, _beta, _ = fusion.apply(
+            P["f"], h_a, h_t.astype(h_a.dtype), fmask == 0, tmask == 0)
+        return jnp.mean(logits.astype(jnp.float32))
+
+    def _cost_flops(args):
+        """FLOPs per batch from the compiled single-forward HLO."""
+        try:
+            ca = _single_forward.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca["flops"])
+        except Exception:
+            return None
+
     def measure(batch, seconds, iters=ITERS):
         t = int(seconds * SR)
         fn = e2e_fn(iters)
@@ -96,16 +142,21 @@ def main():
         wmask = jnp.ones((batch, t), jnp.int32)
         ids = jnp.asarray(rng.integers(0, 30000, size=(batch, LT)).astype(np.int32))
         tmask = jnp.ones((batch, LT), jnp.int32)
-        float(fn(P, wavs, wmask, ids, tmask))  # compile
-        best = float("inf")
-        for _ in range(2):
+        args = (P, wavs, wmask, ids, tmask)
+        flops = _cost_flops(args) if batch == B else None
+        float(fn(*args))  # compile + warm
+        times = []
+        for _ in range(REPEATS):
             t0 = time.perf_counter()
-            float(fn(P, wavs, wmask, ids, tmask))
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best  # seconds per batch
+            float(fn(*args))
+            times.append((time.perf_counter() - t0) / iters)
+        best = min(times)
+        spread = (max(times) - best) / best
+        return best, spread, flops  # seconds per batch, rel spread, FLOPs/batch
 
     # per-bucket steady-state cost
-    per_batch_s = {sec: measure(B, sec) for sec in BUCKETS_S}
+    bucket_stats = {sec: measure(B, sec) for sec in BUCKETS_S}
+    per_batch_s = {sec: s[0] for sec, s in bucket_stats.items()}
 
     # weight by the realistic duration mix
     durations = _duration_mix()
@@ -118,7 +169,7 @@ def main():
 
     # p50 per-clip latency: single clip at the median bucket
     median_bucket = BUCKETS_S[int(np.searchsorted(BUCKETS_S, np.median(durations)))]
-    p50_latency_ms = measure(1, median_bucket, iters=20) * 1000
+    p50_latency_ms = measure(1, median_bucket, iters=20)[0] * 1000
 
     # fusion-only continuity metric (precomputed features path)
     la = 499
@@ -138,12 +189,16 @@ def main():
 
     float(fusion_fn(P["f"], h_a, h_t, mask_a, mask_t))
     best = float("inf")
-    for _ in range(2):  # best-of-N over the flaky tunnel (CLAUDE.md)
+    for _ in range(REPEATS):  # best-of-N over the flaky tunnel (CLAUDE.md)
         t0 = time.perf_counter()
         float(fusion_fn(P["f"], h_a, h_t, mask_a, mask_t))
         best = min(best, time.perf_counter() - t0)
     fusion_utt_per_sec = B * 30 / best
 
+    mfu = {
+        str(sec): round(flops / t_s / V5E_BF16_PEAK, 3)
+        for sec, (t_s, _, flops) in bucket_stats.items() if flops
+    }
     print(json.dumps({
         "metric": "iemocap_e2e_utterances_per_sec_per_chip_incl_frontends",
         "value": round(e2e_utt_per_sec, 1),
@@ -152,6 +207,11 @@ def main():
         "p50_ms_per_clip": round(p50_latency_ms, 1),
         "fusion_only_utt_per_sec": round(fusion_utt_per_sec, 1),
         "bucket_ms_per_batch64": {str(k): round(v * 1000, 1) for k, v in per_batch_s.items()},
+        "spread": {str(sec): round(sp, 3) for sec, (_, sp, _) in bucket_stats.items()},
+        "mfu": mfu,
+        "mfu_note": f"compiled-HLO FLOPs / time / v5e bf16 peak ({V5E_BF16_PEAK/1e12:.0f} TF/s)",
+        "timing": f"best-of-{REPEATS}, {ITERS} iters per sample inside one jitted scan",
+        "duration_mix": DURATION_MIX_NOTE,
     }))
 
 
