@@ -61,6 +61,9 @@ def parse_args(argv=None):
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model configs (tests)")
     ap.add_argument("--compute_dtype", choices=["float32", "bfloat16"], default="float32")
+    ap.add_argument("--allow_hash_tokenizer", action="store_true",
+                    help="override the quality gate: allow pretrained BERT "
+                         "weights with the validation-only hash tokenizer")
     return ap.parse_args(argv)
 
 
@@ -163,6 +166,13 @@ def extract_text(args, df, out_dir: Path):
 
         tokenizer = BertTokenizerFast(vocab_file=args.vocab_file, do_lower_case=True)
     else:
+        # Quality gate (VERDICT r1 weak #7): real pretrained weights +
+        # hash tokenizer would write silently-garbage text features.
+        if args.bert_state_dict and not args.allow_hash_tokenizer:
+            raise SystemExit(
+                "[extract] refusing to extract features from pretrained "
+                "weights with the hash tokenizer: pass --vocab_file (real "
+                "BERT vocab) or --allow_hash_tokenizer to override")
         tokenizer = _HashTokenizer(cfg.vocab_size)
         print("[extract] WARNING: no --vocab_file; using a hash tokenizer "
               "(pipeline validation only)")

@@ -57,11 +57,15 @@ def _attention(p, x, bias, n_heads, eps):
     b, l, d = x.shape
     hd = d // n_heads
 
-    def proj(name):
-        y = linear_apply(p["self"][name], x)
-        return y.reshape(b, l, n_heads, hd).transpose(0, 2, 1, 3)
+    if "w_int8" in p["self"]["query"]:
+        # quantized serving: quantize x once, one packed GEMM for q/k/v
+        from ..ops.quant import int8_linear_packed
 
-    q, k, v = proj("query"), proj("key"), proj("value")
+        qkv = int8_linear_packed(
+            [p["self"]["query"], p["self"]["key"], p["self"]["value"]], x)
+    else:
+        qkv = [linear_apply(p["self"][n], x) for n in ("query", "key", "value")]
+    q, k, v = (y.reshape(b, l, n_heads, hd).transpose(0, 2, 1, 3) for y in qkv)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q / math.sqrt(hd), k,
                         preferred_element_type=jnp.float32)
     if bias is not None:
@@ -137,14 +141,17 @@ class BertEncoder(Module):
             bias = jnp.where(attention_mask == 0, NEG_INF, 0.0).astype(jnp.float32)
             bias = bias[:, None, None, :]
 
+        from ..ops.fused_ffn import route_ffn_block
+
         for i in range(cfg.num_hidden_layers):
             lp = params["encoder"]["layer"][str(i)]
             x = _attention(lp["attention"], x, bias, cfg.num_attention_heads,
                            cfg.layer_norm_eps)
-            h = jax.nn.gelu(linear_apply(lp["intermediate"]["dense"], x),
-                            approximate=cfg.fast_gelu)
-            h = linear_apply(lp["output"]["dense"], h)
-            x = layer_norm_apply(lp["output"]["LayerNorm"], x + h, cfg.layer_norm_eps)
+            # post-norm FFN block; fused Pallas kernel when int8-quantized
+            x = route_ffn_block(lp["intermediate"]["dense"],
+                                lp["output"]["dense"],
+                                lp["output"]["LayerNorm"], x,
+                                cfg.layer_norm_eps, cfg.fast_gelu)
 
         # masked mean pooling (the reference's utterance embedding)
         from ..core.masking import masked_mean

@@ -76,6 +76,16 @@ class WavLMConfig:
         return cls(**d)
 
 
+def _ffn_block(ffp, ln, x, eps, fast_gelu):
+    """Post-norm FFN block; routes to the fused Pallas kernel when the
+    params are int8-quantized on TPU (ops/fused_ffn.py docstring has the
+    measured routing table)."""
+    from ..ops.fused_ffn import route_ffn_block
+
+    return route_ffn_block(ffp["intermediate_dense"], ffp["output_dense"],
+                           ln, x, eps, fast_gelu)
+
+
 def conv1d(x, weight, bias=None, stride=1, padding=0, groups=1):
     """x [B,C,L], weight [O, I/groups, K] (torch layout)."""
     out = jax.lax.conv_general_dilated(
@@ -217,9 +227,19 @@ class WavLMEncoder(Module):
         gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # [B,H,L,1]
         gate_out = gate_a * (gate_b * params["gru_rel_pos_const"] - 1.0) + 2.0
 
-        q = linear_apply(params["q_proj"], x).reshape(b, l, h, hd).transpose(0, 2, 1, 3)
-        k = linear_apply(params["k_proj"], x).reshape(b, l, h, hd).transpose(0, 2, 1, 3)
-        v = linear_apply(params["v_proj"], x).reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        if "w_int8" in params["q_proj"]:
+            # quantized serving: quantize x once, one packed GEMM for q/k/v
+            from ..ops.quant import int8_linear_packed
+
+            q, k, v = int8_linear_packed(
+                [params["q_proj"], params["k_proj"], params["v_proj"]], x)
+        else:
+            q = linear_apply(params["q_proj"], x)
+            k = linear_apply(params["k_proj"], x)
+            v = linear_apply(params["v_proj"], x)
+        q = q.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
 
         from ..ops.wavlm_attention import use_fused, wavlm_fused_attention
 
@@ -288,11 +308,8 @@ class WavLMEncoder(Module):
             lp = params["encoder"]["layers"][str(i)]
             attn = self._attention(lp["attention"], x, kpm_bias, position_bias)
             x = layer_norm_apply(lp["layer_norm"], x + attn, eps)
-            ffp = lp["feed_forward"]
-            hmid = jax.nn.gelu(linear_apply(ffp["intermediate_dense"], x),
-                               approximate=cfg.fast_gelu)
-            x = layer_norm_apply(lp["final_layer_norm"],
-                                 x + linear_apply(ffp["output_dense"], hmid), eps)
+            x = _ffn_block(lp["feed_forward"], lp["final_layer_norm"], x, eps,
+                           cfg.fast_gelu)
 
         return x, frame_mask
 

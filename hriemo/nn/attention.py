@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..core.masking import mask_to_bias
 from . import initializers as init
-from .layers import dropout as _dropout
+from .layers import dropout as _dropout, linear_apply
 from .module import Module
 
 
@@ -137,10 +137,10 @@ def mha_apply(
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
     out = _merge_heads(out)
-    op = params["out_proj"]
-    out = jnp.matmul(out, op["weight"].T)
-    if "bias" in op:
-        out = out + op["bias"]
+    # linear_apply so a quantized tree (ops.quant) dispatches to int8;
+    # the packed in_proj_weight above stays bf16 by construction (the
+    # quantizer only rewrites {weight[, bias]} leaf dicts).
+    out = linear_apply(params["out_proj"], out)
     return out, weights
 
 

@@ -22,7 +22,16 @@ def linear_apply(p, x):
 
     The transpose is a dot_general dimension-number choice for XLA, not a
     data movement; keeping torch layout makes checkpoint import a no-op.
+
+    Dispatches on the param dict: a tree pre-quantized with
+    ``hriemo.ops.quant.quantize_tree_for_serving`` carries ``w_int8``
+    instead of ``weight`` and routes to the int8 MXU path — model forward
+    code is precision-agnostic, exactly like the bf16 tree_map cast.
     """
+    if "w_int8" in p:
+        from ..ops.quant import int8_linear
+
+        return int8_linear(p, x)
     y = jnp.matmul(x, p["weight"].T)
     if "bias" in p:
         y = y + p["bias"]
