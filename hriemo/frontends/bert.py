@@ -57,15 +57,13 @@ def _attention(p, x, bias, n_heads, eps):
     b, l, d = x.shape
     hd = d // n_heads
 
-    if "w_int8" in p["self"]["query"]:
-        # quantized serving: quantize x once, one packed GEMM for q/k/v
-        from ..ops.quant import int8_linear_packed
+    def proj(name):
+        # per-projection dispatch (int8 when quantized); hand-packing the
+        # three GEMMs was measured slower — see wavlm.py _attention note
+        y = linear_apply(p["self"][name], x)
+        return y.reshape(b, l, n_heads, hd).transpose(0, 2, 1, 3)
 
-        qkv = int8_linear_packed(
-            [p["self"]["query"], p["self"]["key"], p["self"]["value"]], x)
-    else:
-        qkv = [linear_apply(p["self"][n], x) for n in ("query", "key", "value")]
-    q, k, v = (y.reshape(b, l, n_heads, hd).transpose(0, 2, 1, 3) for y in qkv)
+    q, k, v = proj("query"), proj("key"), proj("value")
     scores = jnp.einsum("bhqd,bhkd->bhqk", q / math.sqrt(hd), k,
                         preferred_element_type=jnp.float32)
     if bias is not None:

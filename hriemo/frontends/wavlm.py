@@ -227,19 +227,14 @@ class WavLMEncoder(Module):
         gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # [B,H,L,1]
         gate_out = gate_a * (gate_b * params["gru_rel_pos_const"] - 1.0) + 2.0
 
-        if "w_int8" in params["q_proj"]:
-            # quantized serving: quantize x once, one packed GEMM for q/k/v
-            from ..ops.quant import int8_linear_packed
-
-            q, k, v = int8_linear_packed(
-                [params["q_proj"], params["k_proj"], params["v_proj"]], x)
-        else:
-            q = linear_apply(params["q_proj"], x)
-            k = linear_apply(params["k_proj"], x)
-            v = linear_apply(params["v_proj"], x)
-        q = q.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        # NB: packing q/k/v into one concatenated int8 GEMM was tried and
+        # LOST the whole-model A/B (WavLM 10s bucket: 124.6 vs 113.1 ms
+        # fused / 127.3 vs 120.7 unfused) — XLA schedules the three dots
+        # better than the hand-packed one. linear_apply dispatches int8
+        # per-projection when the tree is quantized.
+        q = linear_apply(params["q_proj"], x).reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        k = linear_apply(params["k_proj"], x).reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        v = linear_apply(params["v_proj"], x).reshape(b, l, h, hd).transpose(0, 2, 1, 3)
 
         from ..ops.wavlm_attention import use_fused, wavlm_fused_attention
 

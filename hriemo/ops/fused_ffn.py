@@ -49,7 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Token-block size. 256 keeps the fp32 [BM, F] intermediate at 3 MB so
 # weights (4.5 MB int8) + double-buffered x blocks fit VMEM comfortably.
-BLOCK_M = 256
+import os
+
+BLOCK_M = int(os.environ.get("HRIEMO_FFN_BLOCK_M", "256"))
 
 
 def _gelu(x, fast: bool):
@@ -62,7 +64,7 @@ def _gelu(x, fast: bool):
 def _quant_rows(x):
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(x * pl.reciprocal(s, approx=False)), -127, 127)
+    q = jnp.clip(jnp.round(x / s), -127, 127)
     return q.astype(jnp.int8), s
 
 
@@ -255,6 +257,8 @@ def route_ffn_block(p_in, p_out, p_ln, x, eps, fast_gelu):
         quantize chain needs fusing), which also keeps training (dropout,
         grads) on the reference semantics.
     """
+    from ..nn.layers import layer_norm_apply, linear_apply
+
     quantized = "w_int8" in p_in
     b, l, d = x.shape
     if quantized and use_fused_ffn(d, p_in["w_int8"].shape[0]):
@@ -271,10 +275,10 @@ def route_ffn_block(p_in, p_out, p_ln, x, eps, fast_gelu):
                            p_ln["bias"], eps, fast_gelu)
         return y.reshape(b, l, d)
     # unfused path (dispatches per-linear, incl. XLA-level int8 fallback
-    # for shapes the kernel rejects)
-    from ..nn.layers import layer_norm_apply, linear_apply
-
-    h = _gelu(linear_apply(p_in, x).astype(jnp.float32), fast_gelu).astype(x.dtype)
+    # for shapes the kernel rejects). GELU stays in the compute dtype —
+    # promoting it to fp32 costs ~11 ms on the WavLM 10 s bucket (measured;
+    # same lesson as the exact-vs-tanh GELU finding in CLAUDE.md).
+    h = jax.nn.gelu(linear_apply(p_in, x), approximate=fast_gelu)
     return layer_norm_apply(p_ln, x + linear_apply(p_out, h), eps)
 
 

@@ -101,8 +101,13 @@ def int8_linear_packed(ps, x):
     ``ps``: list of quantized param dicts (same in_features). The
     activation is quantized once and the weights concatenated along the
     output axis — one [*, in] × [in, Σout] MXU pass instead of N passes
-    each re-quantizing x. Used for attention q/k/v projections.
-    Returns the list of per-param outputs (split back).
+    each re-quantizing x. Returns the list of per-param outputs.
+
+    NOT used on the product path: packing attention q/k/v this way LOST
+    the whole-model A/B on v5e (WavLM 10 s bucket +7–12 ms vs separate
+    dispatched projections — XLA schedules the three dots better than the
+    hand-packed one). Kept for workloads with many small shared-input
+    heads where the per-GEMM quantize overhead dominates.
     """
     sizes = [p["w_int8"].shape[0] for p in ps]
     w = jnp.concatenate([p["w_int8"] for p in ps], axis=0)      # [Σout, in]

@@ -116,6 +116,22 @@ def test_frontend_int8_logit_delta(frontend):
     assert rel < 0.05, rel
 
 
+def test_int8_linear_packed_matches_separate():
+    from hriemo.ops.quant import int8_linear_packed
+
+    rng = np.random.default_rng(5)
+    ps = [quantize_linear_params({
+        "weight": jnp.asarray(rng.standard_normal((o, 128)).astype(np.float32) * 0.05),
+        "bias": jnp.asarray(rng.standard_normal((o,)).astype(np.float32) * 0.1),
+    }) for o in (128, 256, 384)]
+    x = jnp.asarray(rng.standard_normal((4, 9, 128)).astype(np.float32))
+    packed = int8_linear_packed(ps, x)
+    for p, got in zip(ps, packed):
+        ref = int8_linear(p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_int8_linear_bf16_input_dtype_roundtrip():
     rng = np.random.default_rng(4)
     p = {"weight": jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32) * 0.05)}
