@@ -219,13 +219,20 @@ class WavLMEncoder(Module):
         h = cfg.num_attention_heads
         hd = d // h
 
-        # gate over query vectors (WavLM's gated relative position bias)
-        ghs = x.reshape(b, l, h, hd).transpose(0, 2, 1, 3)  # [B,H,L,hd]
-        proj = linear_apply(params["gru_rel_pos_linear"], ghs)  # [B,H,L,8]
-        proj = proj.reshape(b, h, l, 2, 4).sum(-1)  # [B,H,L,2]
+        # gate over query vectors (WavLM's gated relative position bias).
+        # The 64->8 gate Linear is SHARED across heads (HF WavLM semantics,
+        # init: lin(d//h, 8)), so it can run directly on the [B,L,H,hd]
+        # reshape — transposing the full 50 MB x tensor first (the HF
+        # op order) buys nothing; only the tiny [B,L,H] gate result needs
+        # relayout to [B,H,L].
+        ghs = x.reshape(b, l, h, hd)  # [B,L,H,hd] — free reshape
+        proj = linear_apply(params["gru_rel_pos_linear"], ghs)  # [B,L,H,8]
+        proj = proj.reshape(b, l, h, 2, 4).sum(-1)  # [B,L,H,2]
         gates = jax.nn.sigmoid(proj)
-        gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # [B,H,L,1]
-        gate_out = gate_a * (gate_b * params["gru_rel_pos_const"] - 1.0) + 2.0
+        gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # [B,L,H,1]
+        const = params["gru_rel_pos_const"].reshape(1, 1, h, 1)
+        gate_out = gate_a * (gate_b * const - 1.0) + 2.0
+        gate_out = gate_out.transpose(0, 2, 1, 3)  # [B,H,L,1] (small)
 
         # NB: packing q/k/v into one concatenated int8 GEMM was tried and
         # LOST the whole-model A/B (WavLM 10s bucket: 124.6 vs 113.1 ms
@@ -298,6 +305,31 @@ class WavLMEncoder(Module):
         buckets = relative_position_buckets(cfg, t_out)  # [L, L]
         rel_embed = params["encoder"]["layers"]["0"]["attention"]["rel_attn_embed"]["weight"]
         position_bias = rel_embed[buckets].transpose(2, 0, 1)  # [H, L, L]
+
+        from ..ops.attention_block import attention_block_int8, use_attention_block
+
+        if use_attention_block(
+                params["encoder"]["layers"]["0"]["attention"], t_out,
+                cfg.hidden_size):
+            # int8 serving megakernel: the whole attention sublayer in one
+            # Pallas pass (see ops/attention_block.py for the measured
+            # rationale). Pad L once to the 128 tile up front and slice
+            # once at the end — padded rows carry garbage but padded KEYS
+            # stay masked via kbias, so valid outputs are untouched.
+            pad = (-t_out) % 128
+            xpad = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            kpb = (kpm_bias[:, 0, 0, :] if kpm_bias is not None
+                   else jnp.zeros((x.shape[0], t_out), jnp.float32))
+            kpb = jnp.pad(kpb, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            posp = jnp.pad(position_bias, ((0, 0), (0, pad), (0, pad)))
+            x = xpad
+            for i in range(cfg.num_hidden_layers):
+                lp = params["encoder"]["layers"][str(i)]
+                x = attention_block_int8(lp["attention"], lp["layer_norm"],
+                                         x, posp, kpb, eps)
+                x = _ffn_block(lp["feed_forward"], lp["final_layer_norm"], x,
+                               eps, cfg.fast_gelu)
+            return x[:, :t_out], frame_mask
 
         for i in range(cfg.num_hidden_layers):
             lp = params["encoder"]["layers"][str(i)]

@@ -1,0 +1,231 @@
+"""Fused WavLM attention *sublayer* megakernel (Pallas TPU, W8A8 serving).
+
+One kernel pass per batch element computes the ENTIRE post-norm attention
+sublayer of a WavLM encoder layer:
+
+    q,k,v   = int8_linear(x)                       (3 full-width GEMMs)
+    gate    = sigmoid-gate(x)                      (WavLM gated rel-pos)
+    ctx_h   = softmax(q_h k_h^T/sqrt(hd) + gate_h * pos_h + kbias) v_h
+    y       = LayerNorm(x + int8_linear(concat_h ctx_h))
+
+Why a megakernel (measured on v5e, B=64, L=499, the product 10 s bucket):
+the shipped per-op route costs 6.2 ms/layer, but its roofline is ~1.5 ms.
+The compiled HLO shows where the rest goes — every custom-call boundary
+forces layout-conversion copies XLA cannot fuse through:
+
+  * fp32 copies of the [B,L,D] attention output (2 x 98 MB/layer) feeding
+    ``quantize_rowwise``'s fp32 cast for the out-proj;
+  * 50 MB bf16 relayout copies for each q/k/v [B,L,H,hd]->[B,H,L,hd]
+    transpose (the attention kernel's operand layout);
+  * a separate [B,H,L,8] gate pipeline.
+
+Moving the whole sublayer into one kernel eliminates every intermediate
+HBM round-trip: per grid step the only HBM traffic is the x block in, the
+y block out, and (once per layer, cached across the batch grid) the
+int8 weights and the shared position bias. The [H,L,L] bias is stored
+bf16 so the full 12-head block stays VMEM-resident (6.3 MB at L=512)
+instead of being re-streamed per (batch, head) — the bias is added to
+fp32 scores, so bf16 storage costs ~3 decimal digits on a O(1)-magnitude
+bias, far below the int8 serving path's accepted numerics envelope
+(bench.py int8_prob_delta).
+
+Numerics: per-row dynamic int8 activation quantization (fp32 scales),
+int8 x int8 -> int32 GEMMs, fp32 softmax, fp32 residual + LayerNorm
+statistics — the same contract as ops.quant / ops.fused_ffn, tested in
+tests/test_attention_block.py (interpret mode vs the XLA reference).
+
+Forward-only: serving path. Training uses the reference-semantics XLA
+route in frontends/wavlm.py (this kernel is routed only for quantized
+param trees, which never train).
+
+Reference behavior: HF ``WavLMEncoderLayer`` (the reference consumes it
+via transformers — scripts/iemocap_feature_extraction_*/extract_audio_
+feats_wavlm.py:22); parity vs torch in tests/test_frontends.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.masking import NEG_INF
+
+
+def _quant_rows(x):
+    """Symmetric per-row int8 quantization (fp32 compute, VMEM)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / s), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def _int8_gemm(xq, xs, w, s, bias):
+    """[M,K] int8 @ [K,N] int8 -> fp32 with row/col dequant + bias."""
+    acc = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * xs * s + bias
+
+
+def _kernel(x_ref, kbias_ref, pos_ref,
+            wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
+            wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref,
+            wg_ref, bg_ref, gconst_ref, lnw_ref, lnb_ref,
+            o_ref, *, n_heads, eps):
+    x = x_ref[0]                                         # [Lp, D] bf16
+    lp, d = x.shape
+    hd = d // n_heads
+    scale = 1.0 / math.sqrt(hd)
+    # heads per GEMM chunk: keep weight column-slices 128-lane aligned
+    hpc = max(1, 128 // hd)
+
+    xq, xs = _quant_rows(x)
+    kbias = kbias_ref[0]                                 # [1, Lp]
+
+    # q/k/v are produced per head-chunk (never stored full-width): the
+    # chunked GEMMs keep the MXU N-dim at 128 lanes and cap live VMEM at
+    # ~0.4 MB for qkv instead of 2.25 MB full-width.
+    outs = []
+    for c in range(n_heads // hpc):
+        csl = slice(c * hpc * hd, (c + 1) * hpc * hd)
+        qc = _int8_gemm(xq, xs, wq_ref[:, csl], sq_ref[:, csl],
+                        bq_ref[:, csl]).astype(jnp.bfloat16)     # [Lp, 128]
+        kc = _int8_gemm(xq, xs, wk_ref[:, csl], sk_ref[:, csl],
+                        bk_ref[:, csl]).astype(jnp.bfloat16)
+        vc = _int8_gemm(xq, xs, wv_ref[:, csl], sv_ref[:, csl],
+                        bv_ref[:, csl]).astype(jnp.bfloat16)
+        for hh in range(hpc):
+            h = c * hpc + hh
+            sl = slice(hh * hd, (hh + 1) * hd)
+            qh, kh, vh = qc[:, sl], kc[:, sl], vc[:, sl]  # [Lp, hd] bf16
+            # gate: the 64->8 Linear is shared across heads (HF WavLM)
+            xh = x[:, h * hd:(h + 1) * hd].astype(wg_ref.dtype)
+            gproj = jax.lax.dot_general(
+                xh, wg_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + bg_ref[:]  # [Lp, 8]
+            ga = jax.nn.sigmoid(jnp.sum(gproj[:, 0:4], axis=-1, keepdims=True))
+            gb = jax.nn.sigmoid(jnp.sum(gproj[:, 4:8], axis=-1, keepdims=True))
+            gate = ga * (gb * gconst_ref[0, h] - 1.0) + 2.0      # [Lp, 1]
+
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale      # [Lp, Lp]
+            s = s + gate * pos_ref[h].astype(jnp.float32) + kbias
+
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+
+    ctx = jnp.concatenate(outs, axis=-1)                 # [Lp, D] bf16
+    cq, cs = _quant_rows(ctx)
+    y = _int8_gemm(cq, cs, wo_ref[:], so_ref[:], bo_ref[:])
+    y = y + x.astype(jnp.float32)                        # residual, fp32
+
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + eps)
+    o_ref[0] = (y * lnw_ref[:] + lnb_ref[:]).astype(o_ref.dtype)
+
+
+def _pad_axis(x, axis, mult, value=0.0):
+    p = (-x.shape[axis]) % mult
+    if p == 0:
+        return x
+    w = [(0, 0)] * x.ndim
+    w[axis] = (0, p)
+    return jnp.pad(x, w, constant_values=value)
+
+
+def _wrow(p):
+    """int8 Linear params -> kernel operands ([in,out] w, [1,out] scale/bias)."""
+    return (p["w_int8"].T, p["w_scale"].T.astype(jnp.float32),
+            p["bias"].astype(jnp.float32)[None, :])
+
+
+def attention_block_int8(ap, p_ln, x, position_bias, key_padding_bias, eps):
+    """Full WavLM attention sublayer: x [B,L,D] -> LayerNorm(x + attn(x)).
+
+    ``ap``: the layer's attention param dict with int8-quantized
+    q/k/v/out projections (ops.quant layout); ``p_ln`` the post-attention
+    LayerNorm. ``position_bias`` [H,L,L] fp32 (shared); ``key_padding_bias``
+    [B,L] additive fp32 (0 valid / NEG_INF pad) or None.
+    """
+    b, l, d = x.shape
+    n_heads = ap["gru_rel_pos_const"].shape[1]
+
+    xp = _pad_axis(x, 1, 128)
+    lp = xp.shape[1]
+    if key_padding_bias is None:
+        key_padding_bias = jnp.zeros((b, l), jnp.float32)
+    kbias = _pad_axis(key_padding_bias, 1, 128, value=NEG_INF)[:, None, :]
+    posp = _pad_axis(_pad_axis(position_bias, 1, 128), 2, 128).astype(jnp.bfloat16)
+
+    wq, sq, bq = _wrow(ap["q_proj"])
+    wk, sk, bk = _wrow(ap["k_proj"])
+    wv, sv, bv = _wrow(ap["v_proj"])
+    wo, so, bo = _wrow(ap["out_proj"])
+    wg = ap["gru_rel_pos_linear"]["weight"].T.astype(jnp.bfloat16)   # [hd, 8]
+    bg = ap["gru_rel_pos_linear"]["bias"].astype(jnp.float32)[None, :]
+    gconst = ap["gru_rel_pos_const"].reshape(1, n_heads).astype(jnp.float32)
+    lnw = p_ln["weight"].astype(jnp.float32)[None, :]
+    lnb = p_ln["bias"].astype(jnp.float32)[None, :]
+
+    whole = lambda *shape: [pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                         memory_space=pltpu.VMEM)]
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_heads=n_heads, eps=eps),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        + whole(n_heads, lp, lp)
+        + whole(d, d) + whole(1, d) + whole(1, d)   # wq, sq, bq
+        + whole(d, d) + whole(1, d) + whole(1, d)   # wk
+        + whole(d, d) + whole(1, d) + whole(1, d)   # wv
+        + whole(d, d) + whole(1, d) + whole(1, d)   # wo
+        + whole(d // n_heads, 8) + whole(1, 8) + whole(1, n_heads)
+        + whole(1, d) + whole(1, d),
+        out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * lp * d * d * 4 + 4 * b * n_heads * lp * lp * (d // n_heads),
+            bytes_accessed=2 * b * lp * d * 2 + posp.size * 2 + 4 * d * d,
+            transcendentals=b * n_heads * lp * lp,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xp, kbias, posp,
+      wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
+      wg, bg, gconst, lnw, lnb)
+    return out[:, :l]
+
+
+def use_attention_block(params, l: int, d: int) -> bool:
+    """Route the megakernel: int8 tree, TPU, product-scale shapes.
+
+    VMEM budget: the resident set (pos bf16 H*Lp^2*2 + 4 int8 weight
+    panels + live q/k/v/ctx) must fit ~16 MB; L<=1024 at D=768 does.
+    """
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+    return (
+        on_tpu
+        and "w_int8" in params.get("q_proj", {})
+        and "w_int8" in params.get("out_proj", {})
+        and d % 128 == 0
+        and 64 <= l <= 1024  # 2.5 s bucket is L=124 (measured 1.3x there)
+    )

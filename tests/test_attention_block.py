@@ -1,0 +1,142 @@
+"""Correctness of the WavLM attention-sublayer megakernel (interpret mode).
+
+Contract: ops/attention_block.attention_block_int8 == the per-op int8
+route (int8_linear projections + XLA gated-bias attention + LayerNorm)
+to within bf16-cast tolerance; padded/masked keys must not influence
+valid outputs; the apply-level routing must agree end-to-end.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hriemo.core.masking import NEG_INF
+from hriemo.frontends import WavLMConfig, WavLMEncoder
+from hriemo.nn.layers import layer_norm_apply
+from hriemo.ops.attention_block import attention_block_int8
+from hriemo.ops.quant import quantize_tree_for_serving
+
+D, H, L, B = 256, 4, 96, 3
+EPS = 1e-5
+
+
+def _layer_params(key, d=D, h=H):
+    keys = iter(jax.random.split(key, 16))
+    lin = lambda din, dout: {
+        "weight": jax.random.normal(next(keys), (dout, din)) * 0.05,
+        "bias": jax.random.normal(next(keys), (dout,)) * 0.02,
+    }
+    ap = {
+        "q_proj": lin(d, d), "k_proj": lin(d, d),
+        "v_proj": lin(d, d), "out_proj": lin(d, d),
+        "gru_rel_pos_const": jnp.ones((1, h, 1, 1)) * 1.3,
+        "gru_rel_pos_linear": lin(d // h, 8),
+    }
+    p_ln = {"weight": jnp.ones((d,)) * 0.9, "bias": jnp.zeros((d,)) + 0.05}
+    return ap, p_ln
+
+
+def _reference(ap, p_ln, x, pos, kpb):
+    """Per-op int8 route: int8_linear + XLA gated attention + LN."""
+    import math
+
+    from hriemo.nn.layers import linear_apply
+
+    b, l, d = x.shape
+    h = ap["gru_rel_pos_const"].shape[1]
+    hd = d // h
+    ghs = x.reshape(b, l, h, hd)
+    proj = linear_apply(
+        {"weight": ap["gru_rel_pos_linear"]["weight"].astype(jnp.bfloat16),
+         "bias": ap["gru_rel_pos_linear"]["bias"]}, ghs.astype(jnp.bfloat16))
+    proj = proj.reshape(b, l, h, 2, 4).sum(-1).astype(jnp.float32)
+    gates = jax.nn.sigmoid(proj)
+    const = ap["gru_rel_pos_const"].reshape(1, 1, h, 1)
+    gate = (gates[..., 0:1] * (gates[..., 1:2] * const - 1.0) + 2.0)
+    gate = gate.transpose(0, 2, 1, 3)  # [B,H,L,1]
+
+    mk = lambda n: quantize_tree_for_serving({"p": ap[n]}, min_dim=1)["p"]
+    q = linear_apply(mk("q_proj"), x).reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+    k = linear_apply(mk("k_proj"), x).reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+    v = linear_apply(mk("v_proj"), x).reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+    q = q.astype(jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+    v = v.astype(jnp.bfloat16)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / math.sqrt(hd)
+    s = s + gate * pos[None] + kpb[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    ctx = ctx.astype(jnp.bfloat16).transpose(0, 2, 1, 3).reshape(b, l, d)
+    y = linear_apply(mk("out_proj"), ctx.astype(x.dtype)).astype(jnp.float32)
+    return layer_norm_apply(p_ln, (y + x.astype(jnp.float32)).astype(x.dtype), EPS)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.key(0)
+    ap, p_ln = _layer_params(key)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32) * 0.5)
+    pos = jnp.asarray(rng.standard_normal((H, L, L)).astype(np.float32) * 0.3)
+    lens = np.array([L, L - 17, L // 2])
+    kpb = jnp.where(np.arange(L)[None, :] < lens[:, None], 0.0, NEG_INF
+                    ).astype(jnp.float32)
+    apq = quantize_tree_for_serving(ap, min_dim=64)
+    return apq, p_ln, x, pos, kpb, lens
+
+
+def test_matches_per_op_int8_route(setup):
+    apq, p_ln, x, pos, kpb, lens = setup
+    got = attention_block_int8(apq, p_ln, x, pos, kpb, EPS)
+    ref = _reference(apq, p_ln, x, pos, kpb)
+    for i, n in enumerate(lens):
+        np.testing.assert_allclose(
+            np.asarray(got[i, :n], np.float32),
+            np.asarray(ref[i, :n], np.float32), atol=5e-2, rtol=5e-2)
+    # tight agreement in the bulk: both paths share the exact same int8
+    # quantization math, so only bf16 cast order differs
+    diff = np.abs(np.asarray(got[0], np.float32) - np.asarray(ref[0], np.float32))
+    assert np.median(diff) < 5e-3, np.median(diff)
+
+
+def test_masked_keys_do_not_leak(setup):
+    apq, p_ln, x, pos, kpb, lens = setup
+    got = attention_block_int8(apq, p_ln, x, pos, kpb, EPS)
+    # scribble on masked positions of clip 2; valid outputs must not move
+    x2 = x.at[2, lens[2]:].set(37.0)
+    got2 = attention_block_int8(apq, p_ln, x2, pos, kpb, EPS)
+    np.testing.assert_allclose(
+        np.asarray(got[2, :lens[2]]), np.asarray(got2[2, :lens[2]]),
+        atol=1e-6, rtol=1e-6)
+
+
+def test_apply_level_routing_agrees(monkeypatch):
+    """wavlm.apply with the megakernel routed == the per-op route."""
+    import hriemo.ops.attention_block as AB
+
+    cfg = WavLMConfig.tiny(hidden_size=128, num_attention_heads=2,
+                           num_hidden_layers=2)
+    enc = WavLMEncoder(cfg)
+    params = quantize_tree_for_serving(enc.params, min_dim=64)
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.1)
+    mask = jnp.asarray((np.arange(4000)[None, :]
+                        < np.array([[4000], [2500]])).astype(np.int32))
+
+    out_ref, fm_ref = enc.apply(params, wav, mask)
+
+    monkeypatch.setattr(AB, "use_attention_block", lambda *a, **k: True)
+    out_krn, fm_krn = enc.apply(params, wav, mask)
+
+    assert out_krn.shape == out_ref.shape
+    np.testing.assert_array_equal(np.asarray(fm_ref), np.asarray(fm_krn))
+    valid = np.asarray(fm_ref).astype(bool)
+    a = np.asarray(out_ref, np.float32)[valid]
+    b = np.asarray(out_krn, np.float32)[valid]
+    np.testing.assert_allclose(a, b, atol=8e-2, rtol=8e-2)
+    assert np.median(np.abs(a - b)) < 1e-2
