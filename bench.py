@@ -104,10 +104,12 @@ def main():
     cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), t)
     P16 = {"w": cast(wavlm.params), "b": cast(bert.params), "f": cast(fusion.params)}
     # headline serving config: W8A8 int8 frontends through the fused Pallas
-    # FFN kernel (whole-model A/B: 32.4/63.0/120.8 ms vs bf16 40.1/73.4/135.8
-    # at the 2.5/5/10 s buckets). Numerics are gated: the measured max
-    # probability delta vs bf16 is reported in the JSON (int8_prob_delta).
-    # The fusion stack stays bf16 (small, carries the quality-critical β).
+    # FFN kernel + the WavLM attention-sublayer megakernel
+    # (ops/attention_block.py; whole-model A/B: 31.6/49.6/91.9 ms vs bf16
+    # 40.1/73.4/135.8 at the 2.5/5/10 s buckets). Numerics are gated: the
+    # measured max probability delta vs bf16 is reported in the JSON
+    # (int8_prob_delta). The fusion stack stays bf16 (small, carries the
+    # quality-critical β).
     from hriemo.ops.quant import quantize_tree_for_serving
 
     P = {"w": quantize_tree_for_serving(P16["w"]),
@@ -255,7 +257,8 @@ def main():
         "p50_ms_per_clip": round(p50_latency_ms, 1),
         "fusion_only_utt_per_sec": round(fusion_utt_per_sec, 1),
         "bucket_ms_per_batch64": {str(k): round(v * 1000, 1) for k, v in per_batch_s.items()},
-        "serving_precision": "int8 W8A8 frontends (fused Pallas FFN) + bf16 fusion stack",
+        "serving_precision": ("int8 W8A8 frontends (Pallas attention-sublayer "
+                              "megakernel + fused FFN) + bf16 fusion stack"),
         "int8_prob_delta": round(int8_prob_delta, 5),
         "bf16_ms_per_batch64_5s": round(bf16_best * 1000, 1),
         "spread": {str(sec): round(sp, 3) for sec, (_, sp, _) in bucket_stats.items()},
