@@ -203,13 +203,46 @@ class WavLMEncoder(Module):
     # ------------------------------------------------------------ forward
     def _feature_encoder(self, params, input_values):
         cfg = self.config
+        from ..ops.conv_stack import conv_stack_fused, use_conv_stack
+
+        if use_conv_stack(cfg, params["feature_extractor"]):
+            # fused Pallas conv pipeline — currently routed OFF: it LOST
+            # the whole-model A/B to XLA's conv pipeline (numbers in
+            # ops/conv_stack.py use_conv_stack docstring)
+            return conv_stack_fused(params["feature_extractor"],
+                                    input_values, cfg)
         x = input_values[:, None, :]  # [B, 1, T]
         for i in range(len(cfg.conv_dim)):
             lp = params["feature_extractor"]["conv_layers"][str(i)]
+            stats_gn = (i == 0 and cfg.conv_kernel[0] == 10
+                        and cfg.conv_stride[0] == 5
+                        and lp["conv"].get("bias") is None
+                        and "layer_norm" in lp)
+            if stats_gn:
+                # GroupNorm stats via the waveform Gram matrix — conv0 is
+                # linear, so the per-channel moments of its output come
+                # from a 10x10 Gram of the input phase view. This deletes
+                # GN's two full passes over the conv0 activation (2 x
+                # 2.1 GB at the 10 s bucket) and lets normalise+GELU fuse
+                # into conv0's output pass (ops/conv_stack.py).
+                from ..ops.conv_stack import group_norm_stats_from_waveform
+
+                mean, var = group_norm_stats_from_waveform(
+                    input_values, lp["conv"]["weight"])
             x = conv1d(x, lp["conv"]["weight"], lp["conv"].get("bias"),
                        stride=cfg.conv_stride[i])
             if i == 0:
-                x = group_norm_per_channel(lp["layer_norm"], x, cfg.layer_norm_eps)
+                if stats_gn:
+                    gp = lp["layer_norm"]
+                    rstd = jax.lax.rsqrt(var + cfg.layer_norm_eps)
+                    x = ((x.astype(jnp.float32) - mean[:, :, None])
+                         * rstd[:, :, None]
+                         * gp["weight"].astype(jnp.float32)[None, :, None]
+                         + gp["bias"].astype(jnp.float32)[None, :, None]
+                         ).astype(x.dtype)
+                else:
+                    x = group_norm_per_channel(lp["layer_norm"], x,
+                                               cfg.layer_norm_eps)
             x = jax.nn.gelu(x, approximate=cfg.fast_gelu)
         return x.transpose(0, 2, 1)  # [B, T', C]
 
