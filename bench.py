@@ -4,9 +4,9 @@
 Headline metric = the BASELINE.json north star: **end-to-end IEMOCAP
 utterances/sec/chip including the WavLM + BERT frontends** (waveform +
 tokens → WavLM-base-plus → BERT-base → TACFN fusion → emotion decoder),
-served int8 W8A8 on the frontends (fused Pallas FFN kernels; numerics
-gated — max softmax-prob delta vs bf16 is measured and reported as
-``int8_prob_delta``) with a bf16 fusion stack, one compiled graph per
+served int8 W8A8 end-to-end (Pallas attention-sublayer megakernels +
+fused FFN kernels; numerics gated — max softmax-prob delta vs bf16 is
+measured and reported as ``int8_prob_delta``), one compiled graph per
 length bucket. ``bf16_ms_per_batch64_5s`` tracks the bf16 path at the
 median bucket for continuity. Throughput is weight-
 independent, so the frontends run with random init (no pretrained weights
@@ -103,17 +103,20 @@ def main():
     )
     cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), t)
     P16 = {"w": cast(wavlm.params), "b": cast(bert.params), "f": cast(fusion.params)}
-    # headline serving config: W8A8 int8 frontends through the fused Pallas
-    # FFN kernel + the WavLM attention-sublayer megakernel
-    # (ops/attention_block.py; whole-model A/B: 31.6/49.6/91.9 ms vs bf16
-    # 40.1/73.4/135.8 at the 2.5/5/10 s buckets). Numerics are gated: the
-    # measured max probability delta vs bf16 is reported in the JSON
-    # (int8_prob_delta). The fusion stack stays bf16 (small, carries the
-    # quality-critical β).
+    # headline serving config: W8A8 int8 end-to-end through the Pallas
+    # attention-sublayer megakernels (WavLM gated variant + the generic
+    # MHA variant in the fusion stack and BERT) and the fused FFN kernel
+    # (whole-model A/B at the 2.5/5/10 s buckets: 31.6/49.6/91.9 ms with
+    # bf16 fusion; fusion-stack int8+kernel 19.0 -> 13.7 ms on top; bf16
+    # baseline 40.1/73.4/135.8). Numerics are gated: max probability
+    # delta vs the all-bf16 path is reported in the JSON
+    # (int8_prob_delta); the quality-critical β moved < 1e-4 in the
+    # routing A/B (beta delta 7e-5).
     from hriemo.ops.quant import quantize_tree_for_serving
 
     P = {"w": quantize_tree_for_serving(P16["w"]),
-         "b": quantize_tree_for_serving(P16["b"]), "f": P16["f"]}
+         "b": quantize_tree_for_serving(P16["b"]),
+         "f": quantize_tree_for_serving(P16["f"])}
     rng = np.random.default_rng(0)
 
     def e2e_fn(iters):
@@ -257,8 +260,9 @@ def main():
         "p50_ms_per_clip": round(p50_latency_ms, 1),
         "fusion_only_utt_per_sec": round(fusion_utt_per_sec, 1),
         "bucket_ms_per_batch64": {str(k): round(v * 1000, 1) for k, v in per_batch_s.items()},
-        "serving_precision": ("int8 W8A8 frontends (Pallas attention-sublayer "
-                              "megakernel + fused FFN) + bf16 fusion stack"),
+        "serving_precision": ("int8 W8A8 end-to-end: Pallas attention-sublayer "
+                              "megakernels (WavLM gated + generic MHA) + fused "
+                              "FFN; bf16 LN/softmax/residuals"),
         "int8_prob_delta": round(int8_prob_delta, 5),
         "bf16_ms_per_batch64_5s": round(bf16_best * 1000, 1),
         "spread": {str(sec): round(sp, 3) for sec, (_, sp, _) in bucket_stats.items()},

@@ -57,9 +57,34 @@ def _attention(p, x, bias, n_heads, eps):
     b, l, d = x.shape
     hd = d // n_heads
 
+    sq = p["self"]
+    if "w_int8" in sq["query"] and "w_int8" in p["output"]["dense"]:
+        from ..ops.attention_block import mha_block_int8, use_mha_block
+
+        # fused int8 sublayer: pack q/k/v into the kernel's in_proj form
+        # (constant concats, hoisted by XLA). One Pallas pass replaces
+        # projections + attention + output dense; residual+LN stay XLA
+        # (one fused elementwise pass). Rationale: ops/attention_block.py.
+        packed = {
+            "in_proj_w_int8": jnp.concatenate(
+                [sq[n]["w_int8"] for n in ("query", "key", "value")], 0),
+            "in_proj_w_scale": jnp.concatenate(
+                [sq[n]["w_scale"] for n in ("query", "key", "value")], 0),
+            "out_proj": p["output"]["dense"],
+        }
+        if "bias" in sq["query"]:
+            packed["in_proj_bias"] = jnp.concatenate(
+                [sq[n]["bias"] for n in ("query", "key", "value")], 0)
+        if use_mha_block(packed, l, l, d, n_heads):
+            kpm = None if bias is None else (bias[:, 0, 0, :] < 0)
+            out = mha_block_int8(packed, x, x, kpm, n_heads)
+            return layer_norm_apply(p["output"]["LayerNorm"], x + out, eps)
+
     def proj(name):
         # per-projection dispatch (int8 when quantized); hand-packing the
         # three GEMMs was measured slower — see wavlm.py _attention note
+        # (the mha_block route above is different: it fuses the WHOLE
+        # sublayer, which is what removes the boundary costs)
         y = linear_apply(p["self"][name], x)
         return y.reshape(b, l, n_heads, hd).transpose(0, 2, 1, 3)
 

@@ -82,13 +82,37 @@ def mha_apply(
     head_dim = d_model // n_heads
     assert head_dim * n_heads == d_model, "d_model must divide n_heads"
 
-    w = params["in_proj_weight"]
-    b = params.get("in_proj_bias")
-    w_q, w_k, w_v = w[:d_model], w[d_model : 2 * d_model], w[2 * d_model :]
+    if "in_proj_w_int8" in params and key is value and not need_weights \
+            and not (train and dropout_rate > 0.0):
+        from ..ops.attention_block import mha_block_int8, use_mha_block
 
-    q = jnp.matmul(query, w_q.T)
-    k = jnp.matmul(key, w_k.T)
-    v = jnp.matmul(value, w_v.T)
+        if use_mha_block(params, query.shape[1], key.shape[1], d_model,
+                         n_heads):
+            # fused int8 sublayer: projections + attention + out-proj in
+            # one Pallas pass (measured rationale in ops/attention_block)
+            out = mha_block_int8(params, query, key, key_padding_mask,
+                                 n_heads)
+            return out, None
+
+    b = params.get("in_proj_bias")
+    if "in_proj_w_int8" in params:
+        # int8 serving: the packed [3d, d] weight carries per-output-row
+        # scales, so each q/k/v slice is a valid int8 Linear on its own
+        # (ops.quant.quantize_tree_for_serving rewrites MHA dicts)
+        from ..ops.quant import int8_linear
+
+        wq8, ws = params["in_proj_w_int8"], params["in_proj_w_scale"]
+        sl = lambda i: {"w_int8": wq8[i * d_model:(i + 1) * d_model],
+                        "w_scale": ws[i * d_model:(i + 1) * d_model]}
+        q = int8_linear(sl(0), query)
+        k = int8_linear(sl(1), key)
+        v = int8_linear(sl(2), value)
+    else:
+        w = params["in_proj_weight"]
+        w_q, w_k, w_v = w[:d_model], w[d_model : 2 * d_model], w[2 * d_model :]
+        q = jnp.matmul(query, w_q.T)
+        k = jnp.matmul(key, w_k.T)
+        v = jnp.matmul(value, w_v.T)
     if b is not None:
         q = q + b[:d_model]
         k = k + b[d_model : 2 * d_model]
@@ -137,9 +161,8 @@ def mha_apply(
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
     out = _merge_heads(out)
-    # linear_apply so a quantized tree (ops.quant) dispatches to int8;
-    # the packed in_proj_weight above stays bf16 by construction (the
-    # quantizer only rewrites {weight[, bias]} leaf dicts).
+    # linear_apply so a quantized tree (ops.quant) dispatches to int8
+    # (the packed in_proj dispatches above via in_proj_w_int8)
     out = linear_apply(params["out_proj"], out)
     return out, weights
 

@@ -212,6 +212,148 @@ def attention_block_int8(ap, p_ln, x, position_bias, key_padding_bias, eps):
     return out[:, :l]
 
 
+def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
+                wq_ref, wk_ref, wv_ref, wo_ref,
+                sq_ref, sk_ref, sv_ref, so_ref,
+                bq_ref, bk_ref, bv_ref, bo_ref,
+                o_ref, *, n_heads):
+    """Standard MHA sublayer (packed-proj int8): out_proj(attn(xq, xkv)).
+
+    The WavLM megakernel minus the gated position bias — shared by the
+    fusion stack's torch-MultiheadAttention sublayers (self and cross)
+    and reusable for any packed-projection attention. Returns the
+    PRE-residual attention output: the caller's residual+LayerNorm are a
+    single XLA elementwise pass that fuses fine; the win this kernel
+    chases is the same one measured for WavLM — no [B,H,L,hd] relayouts
+    or fp32 quantize casts crossing custom-call boundaries.
+    """
+    xq = xq_ref[0]                                       # [Lqp, D]
+    xkv = xkv_ref[0]                                     # [Lkp, D]
+    lq, d = xq.shape
+    hd = d // n_heads
+    scale = 1.0 / math.sqrt(hd)
+    # chunk heads so weight column-slices stay 128-lane aligned even for
+    # hd=96 (fusion: 8 heads x 96): chunk width = lcm(hd, 128)
+    cw = hd
+    while cw % 128:
+        cw += hd
+    hpc = cw // hd
+
+    xqq, xqs = _quant_rows(xq)
+    xkq, xks = _quant_rows(xkv)
+    kbias = kbias_ref[0]                                 # [1, Lkp]
+
+    outs = []
+    for c in range(n_heads // hpc):
+        csl = slice(c * cw, (c + 1) * cw)
+        qc = _int8_gemm(xqq, xqs, wq_ref[:, csl], sq_ref[:, csl],
+                        bq_ref[:, csl]).astype(jnp.bfloat16)     # [Lqp, cw]
+        kc = _int8_gemm(xkq, xks, wk_ref[:, csl], sk_ref[:, csl],
+                        bk_ref[:, csl]).astype(jnp.bfloat16)
+        vc = _int8_gemm(xkq, xks, wv_ref[:, csl], sv_ref[:, csl],
+                        bv_ref[:, csl]).astype(jnp.bfloat16)
+        for hh in range(hpc):
+            sl = slice(hh * hd, (hh + 1) * hd)
+            qh, kh, vh = qc[:, sl], kc[:, sl], vc[:, sl]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale      # [Lqp, Lkp]
+            s = s + kbias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+
+    ctx = jnp.concatenate(outs, axis=-1)                 # [Lqp, D] bf16
+    cq, cs = _quant_rows(ctx)
+    y = _int8_gemm(cq, cs, wo_ref[:], so_ref[:], bo_ref[:])
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads):
+    """Fused int8 MHA sublayer for packed torch-MHA params.
+
+    ``params``: an ops.quant-rewritten MHA dict (``in_proj_w_int8``
+    [3d,d] + ``in_proj_w_scale`` + optional ``in_proj_bias`` + int8
+    ``out_proj``). ``xq`` [B,Lq,D], ``xkv`` [B,Lk,D];
+    ``key_padding_mask`` [B,Lk] bool True=PAD or None.
+    Returns the pre-residual attention output [B,Lq,D].
+    """
+    b, lq, d = xq.shape
+    lk = xkv.shape[1]
+
+    w8, ws = params["in_proj_w_int8"], params["in_proj_w_scale"]
+    bias = params.get("in_proj_bias")
+    zeros = jnp.zeros((d,), jnp.float32)
+    seg = lambda i: (w8[i * d:(i + 1) * d].T,
+                     ws[i * d:(i + 1) * d].T.astype(jnp.float32),
+                     (bias[i * d:(i + 1) * d].astype(jnp.float32)
+                      if bias is not None else zeros)[None, :])
+    (wq, sq, bq), (wk, sk, bk), (wv, sv, bv) = seg(0), seg(1), seg(2)
+    wo, so, bo = _wrow(params["out_proj"]) if "bias" in params["out_proj"] \
+        else (params["out_proj"]["w_int8"].T,
+              params["out_proj"]["w_scale"].T.astype(jnp.float32),
+              zeros[None, :])
+
+    xqp = _pad_axis(xq, 1, 128)
+    xkp = _pad_axis(xkv, 1, 128)
+    lqp, lkp = xqp.shape[1], xkp.shape[1]
+    if key_padding_mask is None:
+        kpb = jnp.zeros((b, lk), jnp.float32)
+    else:
+        kpb = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
+    kpb = _pad_axis(kpb, 1, 128, value=NEG_INF)[:, None, :]
+
+    whole = lambda *shape: [pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                         memory_space=pltpu.VMEM)]
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel, n_heads=n_heads),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, lqp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lkp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lkp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        + whole(d, d) + whole(d, d) + whole(d, d) + whole(d, d)
+        + whole(1, d) + whole(1, d) + whole(1, d) + whole(1, d)
+        + whole(1, d) + whole(1, d) + whole(1, d) + whole(1, d),
+        out_specs=pl.BlockSpec((1, lqp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lqp, d), xq.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (3 * lqp + lqp) * d * d
+            + 4 * b * n_heads * lqp * lkp * (d // n_heads),
+            bytes_accessed=b * (2 * lqp + lkp) * d * 2 + 4 * d * d,
+            transcendentals=b * n_heads * lqp * lkp,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xqp, xkp, kpb, wq, wk, wv, wo, sq, sk, sv, so, bq, bk, bv, bo)
+    return out[:, :lq]
+
+
+def use_mha_block(params, lq: int, lk: int, d: int, n_heads: int) -> bool:
+    """Route the fused MHA sublayer: int8 packed params, TPU, shapes that
+    tile (see VMEM analysis in _mha_kernel)."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+    return (
+        on_tpu
+        and "in_proj_w_int8" in params
+        and "w_int8" in params.get("out_proj", {})
+        and d % 128 == 0
+        and (d // n_heads) % 8 == 0
+        and 8 <= lq <= 1024
+        and 8 <= lk <= 1024
+    )
+
+
 def use_attention_block(params, l: int, d: int) -> bool:
     """Route the megakernel: int8 tree, TPU, product-scale shapes.
 

@@ -137,6 +137,15 @@ def _is_linear(node) -> bool:
     )
 
 
+def _is_mha(node) -> bool:
+    """Packed torch-MultiheadAttention param dict (nn/attention.py)."""
+    return (
+        isinstance(node, dict)
+        and "in_proj_weight" in node
+        and getattr(node["in_proj_weight"], "ndim", 0) == 2
+    )
+
+
 def quantize_tree_for_serving(params, min_dim: int = DEFAULT_MIN_DIM,
                               skip=("embeddings", "rel_attn_embed")):
     """Return a copy of ``params`` with every large-enough Linear
@@ -153,6 +162,18 @@ def quantize_tree_for_serving(params, min_dim: int = DEFAULT_MIN_DIM,
             if min(o, i) >= min_dim:
                 return quantize_linear_params(node)
             return node
+        if _is_mha(node):
+            # packed MHA in_proj [3d, d]: per-output-row scales work for
+            # the q/k/v slices too (each slice keeps its own rows);
+            # nn.attention.mha_apply dispatches on in_proj_w_int8
+            w = node["in_proj_weight"]
+            if min(w.shape) >= min_dim:
+                q = quantize_linear_params({"weight": w})
+                node = {k: v for k, v in node.items() if k != "in_proj_weight"}
+                node["in_proj_w_int8"] = q["w_int8"]
+                node["in_proj_w_scale"] = q["w_scale"]
+            return {k: (walk(v, path + (k,)) if isinstance(v, dict) else v)
+                    for k, v in node.items()}
         if isinstance(node, dict):
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         return node
@@ -168,7 +189,7 @@ def count_quantized(params) -> int:
     def walk(node):
         nonlocal n
         if isinstance(node, dict):
-            if "w_int8" in node:
+            if "w_int8" in node or "in_proj_w_int8" in node:
                 n += 1
             for v in node.values():
                 walk(v)

@@ -140,3 +140,48 @@ def test_apply_level_routing_agrees(monkeypatch):
     b = np.asarray(out_krn, np.float32)[valid]
     np.testing.assert_allclose(a, b, atol=8e-2, rtol=8e-2)
     assert np.median(np.abs(a - b)) < 1e-2
+
+
+def test_mha_block_matches_per_op_route():
+    """Fused int8 MHA sublayer == mha_apply's per-op int8 path (self and
+    cross shapes, padded keys)."""
+    from hriemo.nn.attention import mha_apply, mha_init
+    from hriemo.ops.attention_block import mha_block_int8
+    from hriemo.ops.quant import quantize_tree_for_serving
+
+    d, h = 256, 2  # hd=128
+    params = quantize_tree_for_serving(mha_init(jax.random.key(1), d),
+                                       min_dim=128)
+    rng = np.random.default_rng(2)
+    for lq, lk in [(96, 96), (96, 40), (9, 96)]:
+        xq = jnp.asarray(rng.standard_normal((2, lq, d)).astype(np.float32) * 0.5)
+        xkv = jnp.asarray(rng.standard_normal((2, lk, d)).astype(np.float32) * 0.5)
+        lens = np.array([lk, lk - 5])
+        mask = jnp.asarray(np.arange(lk)[None, :] >= lens[:, None])
+        ref, _ = mha_apply(params, xq, xkv, xkv, h, key_padding_mask=mask,
+                           use_kernel=False)
+        got = mha_block_int8(params, xq, xkv, mask, h)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=5e-2, rtol=5e-2)
+        med = np.median(np.abs(np.asarray(got, np.float32)
+                               - np.asarray(ref, np.float32)))
+        assert med < 5e-3, med
+
+
+def test_mha_block_hd96():
+    """hd=96 (the fusion stack's 8x96 heads): misaligned head slices."""
+    from hriemo.nn.attention import mha_apply, mha_init
+    from hriemo.ops.attention_block import mha_block_int8
+    from hriemo.ops.quant import quantize_tree_for_serving
+
+    d, h = 384, 4  # hd=96, chunk = lcm(96,128)=384 -> hpc=4
+    params = quantize_tree_for_serving(mha_init(jax.random.key(2), d),
+                                       min_dim=128)
+    rng = np.random.default_rng(3)
+    xq = jnp.asarray(rng.standard_normal((2, 50, d)).astype(np.float32) * 0.5)
+    ref, _ = mha_apply(params, xq, xq, xq, h, use_kernel=False)
+    got = mha_block_int8(params, xq, xq, None, h)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=5e-2)

@@ -138,3 +138,24 @@ def test_int8_linear_bf16_input_dtype_roundtrip():
     x = jnp.asarray(rng.standard_normal((4, 256))).astype(jnp.bfloat16)
     out = int8_linear(quantize_linear_params(p), x)
     assert out.dtype == jnp.bfloat16
+
+
+def test_mha_int8_dispatch_matches_bf16():
+    """Quantized packed-MHA params: logits close to the fp path."""
+    from hriemo.nn.attention import mha_apply, mha_init
+    from hriemo.ops.quant import count_quantized, quantize_tree_for_serving
+
+    d, h = 256, 4
+    params = mha_init(jax.random.key(0), d)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 9, d)).astype(np.float32) * 0.5)
+    kv = jnp.asarray(rng.standard_normal((2, 7, d)).astype(np.float32) * 0.5)
+    mask = jnp.asarray(np.array([[False] * 7, [False] * 5 + [True] * 2]))
+
+    ref, _ = mha_apply(params, q, kv, kv, h, key_padding_mask=mask)
+    pq = quantize_tree_for_serving(params, min_dim=128)
+    assert count_quantized(pq) == 2  # in_proj + out_proj
+    got, _ = mha_apply(pq, q, kv, kv, h, key_padding_mask=mask)
+    err = np.abs(np.asarray(ref) - np.asarray(got))
+    rel = err.max() / (np.abs(np.asarray(ref)).max() + 1e-9)
+    assert rel < 0.05, rel
