@@ -53,12 +53,15 @@ SR = 16_000
 # measured on v5e: a 7.5 s bucket costs MORE per utterance than the 10 s
 # bucket (2.97 vs 2.77 ms/utt at B=64) — conv/attention padding lands on
 # the same tiles — so the serving config uses three buckets.
-# Round-2 grid search on the int8 path confirmed this config is optimal:
-# a 3.75 s bucket costs the same per batch as 5 s (62.6 vs 63.3 ms — both
-# pad to the same 256-frame tile), and larger batches are WORSE per utt
-# everywhere (2.5 s: 0.508/0.592/0.671 ms at B=64/128/256).
+# Round-2 grid search on the int8 path: a 3.75 s bucket costs the same
+# per batch as 5 s (62.6 vs 63.3 ms — both pad to the same 256-frame
+# tile). Batch size was re-searched AFTER the megakernels landed (their
+# grid-over-batch amortises differently): B=128 now wins per-utt at the
+# 2.5 s (0.475 vs 0.508 ms) and 10 s (1.395 vs 1.443) buckets, B=64
+# stays best at 5 s, and B=256 regresses everywhere.
 BUCKETS_S = (2.5, 5.0, 10.0)
-B = 64
+BUCKET_B = {2.5: 128, 5.0: 64, 10.0: 128}
+B = 64  # FLOP-accounting / latency reference batch
 LT = 128
 ITERS = 10
 REPEATS = 5  # best-of-5 over the flaky tunnel (VERDICT r1 weak #5)
@@ -157,7 +160,7 @@ def main():
         except Exception:
             return None
 
-    def measure(batch, seconds, iters=ITERS, params=None):
+    def measure(batch, seconds, iters=ITERS, params=None, want_flops=True):
         t = int(seconds * SR)
         fn = e2e_fn(iters)
         wavs = jnp.asarray(rng.standard_normal((batch, t)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
@@ -165,7 +168,7 @@ def main():
         ids = jnp.asarray(rng.integers(0, 30000, size=(batch, LT)).astype(np.int32))
         tmask = jnp.ones((batch, LT), jnp.int32)
         args = (P if params is None else params, wavs, wmask, ids, tmask)
-        flops = _cost_flops(args) if batch == B else None
+        flops = _cost_flops(args) if want_flops else None
         float(fn(*args))  # compile + warm
         times = []
         for _ in range(REPEATS):
@@ -176,9 +179,9 @@ def main():
         spread = (max(times) - best) / best
         return best, spread, flops  # seconds per batch, rel spread, FLOPs/batch
 
-    # per-bucket steady-state cost
-    bucket_stats = {sec: measure(B, sec) for sec in BUCKETS_S}
-    per_batch_s = {sec: s[0] for sec, s in bucket_stats.items()}
+    # per-bucket steady-state cost at each bucket's measured-optimal batch
+    bucket_stats = {sec: measure(BUCKET_B[sec], sec) for sec in BUCKETS_S}
+    per_utt_s = {sec: s[0] / BUCKET_B[sec] for sec, s in bucket_stats.items()}
 
     # int8 numerics gate + bf16 reference point (5 s bucket): one extra
     # timed config and one un-scanned forward per path
@@ -212,7 +215,7 @@ def main():
     durations = _duration_mix()
     bucket_of = np.searchsorted(np.asarray(BUCKETS_S), durations)
     total_time = sum(
-        (bucket_of == i).sum() / B * per_batch_s[sec]
+        (bucket_of == i).sum() * per_utt_s[sec]
         for i, sec in enumerate(BUCKETS_S)
     )
     e2e_utt_per_sec = len(durations) / total_time
@@ -222,7 +225,8 @@ def main():
     # the serving tier picks precision per batch regime: int8 for
     # throughput batches, bf16 for latency-sensitive singles)
     median_bucket = BUCKETS_S[int(np.searchsorted(BUCKETS_S, np.median(durations)))]
-    p50_latency_ms = measure(1, median_bucket, iters=20, params=P16)[0] * 1000
+    p50_latency_ms = measure(1, median_bucket, iters=20, params=P16,
+                             want_flops=False)[0] * 1000
 
     # fusion-only continuity metric (precomputed features path)
     la = 499
@@ -259,7 +263,11 @@ def main():
         "vs_baseline": round(e2e_utt_per_sec / NORTH_STAR, 3),
         "p50_ms_per_clip": round(p50_latency_ms, 1),
         "fusion_only_utt_per_sec": round(fusion_utt_per_sec, 1),
-        "bucket_ms_per_batch64": {str(k): round(v * 1000, 1) for k, v in per_batch_s.items()},
+        "bucket_cfg": {str(sec): {
+            "batch": BUCKET_B[sec],
+            "ms_per_batch": round(bucket_stats[sec][0] * 1000, 1),
+            "ms_per_utt": round(per_utt_s[sec] * 1000, 3),
+        } for sec in BUCKETS_S},
         "serving_precision": ("int8 W8A8 end-to-end: Pallas attention-sublayer "
                               "megakernels (WavLM gated + generic MHA) + fused "
                               "FFN; bf16 LN/softmax/residuals"),

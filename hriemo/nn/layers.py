@@ -87,6 +87,13 @@ def mlp2_init(key, d_in: int, d_hidden: int, d_out: int):
 
 
 def mlp2_apply(p, x):
+    if "w_int8" in p["0"]:
+        from ..ops.fused_ffn import mlp2_int8, use_mlp2_int8
+
+        if use_mlp2_int8(p["0"], p["2"]):
+            # fused W8A8 pair — the int8 win only materialises inside a
+            # kernel (ops/fused_ffn.py measured routing table)
+            return mlp2_int8(p["0"], p["2"], x)
     return linear_apply(p["2"], relu(linear_apply(p["0"], x)))
 
 

@@ -87,6 +87,13 @@ def _kernel(x_ref, kbias_ref, pos_ref,
     xq, xs = _quant_rows(x)
     kbias = kbias_ref[0]                                 # [1, Lp]
 
+    # gate for ALL heads in one GEMM: wg_ref is the block-diagonal
+    # [D, 8H] arrangement of the shared 64->8 gate Linear (12 separate
+    # [Lp,64]x[64,8] GEMMs are ~all MXU setup at K=64/N=8)
+    gproj = jax.lax.dot_general(
+        x.astype(wg_ref.dtype), wg_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bg_ref[:]  # [Lp, 8H]
+
     # q/k/v are produced per head-chunk (never stored full-width): the
     # chunked GEMMs keep the MXU N-dim at 128 lanes and cap live VMEM at
     # ~0.4 MB for qkv instead of 2.25 MB full-width.
@@ -103,13 +110,9 @@ def _kernel(x_ref, kbias_ref, pos_ref,
             h = c * hpc + hh
             sl = slice(hh * hd, (hh + 1) * hd)
             qh, kh, vh = qc[:, sl], kc[:, sl], vc[:, sl]  # [Lp, hd] bf16
-            # gate: the 64->8 Linear is shared across heads (HF WavLM)
-            xh = x[:, h * hd:(h + 1) * hd].astype(wg_ref.dtype)
-            gproj = jax.lax.dot_general(
-                xh, wg_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + bg_ref[:]  # [Lp, 8]
-            ga = jax.nn.sigmoid(jnp.sum(gproj[:, 0:4], axis=-1, keepdims=True))
-            gb = jax.nn.sigmoid(jnp.sum(gproj[:, 4:8], axis=-1, keepdims=True))
+            gp = gproj[:, 8 * h:8 * h + 8]                       # [Lp, 8]
+            ga = jax.nn.sigmoid(jnp.sum(gp[:, 0:4], axis=-1, keepdims=True))
+            gb = jax.nn.sigmoid(jnp.sum(gp[:, 4:8], axis=-1, keepdims=True))
             gate = ga * (gb * gconst_ref[0, h] - 1.0) + 2.0      # [Lp, 1]
 
             s = jax.lax.dot_general(
@@ -172,8 +175,12 @@ def attention_block_int8(ap, p_ln, x, position_bias, key_padding_bias, eps):
     wk, sk, bk = _wrow(ap["k_proj"])
     wv, sv, bv = _wrow(ap["v_proj"])
     wo, so, bo = _wrow(ap["out_proj"])
-    wg = ap["gru_rel_pos_linear"]["weight"].T.astype(jnp.bfloat16)   # [hd, 8]
-    bg = ap["gru_rel_pos_linear"]["bias"].astype(jnp.float32)[None, :]
+    # block-diagonal arrangement of the shared per-head gate Linear so the
+    # kernel computes all heads' gates in ONE [Lp,D]x[D,8H] GEMM
+    wg1 = ap["gru_rel_pos_linear"]["weight"].T.astype(jnp.bfloat16)  # [hd, 8]
+    wg = jax.scipy.linalg.block_diag(*([wg1] * n_heads))             # [D, 8H]
+    bg = jnp.tile(ap["gru_rel_pos_linear"]["bias"].astype(jnp.float32),
+                  n_heads)[None, :]                                  # [1, 8H]
     gconst = ap["gru_rel_pos_const"].reshape(1, n_heads).astype(jnp.float32)
     lnw = p_ln["weight"].astype(jnp.float32)[None, :]
     lnb = p_ln["bias"].astype(jnp.float32)[None, :]
@@ -192,7 +199,7 @@ def attention_block_int8(ap, p_ln, x, position_bias, key_padding_bias, eps):
         + whole(d, d) + whole(1, d) + whole(1, d)   # wk
         + whole(d, d) + whole(1, d) + whole(1, d)   # wv
         + whole(d, d) + whole(1, d) + whole(1, d)   # wo
-        + whole(d // n_heads, 8) + whole(1, 8) + whole(1, n_heads)
+        + whole(d, 8 * n_heads) + whole(1, 8 * n_heads) + whole(1, n_heads)
         + whole(1, d) + whole(1, d),
         out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),

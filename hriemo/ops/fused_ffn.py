@@ -68,6 +68,29 @@ def _quant_rows(x):
     return q.astype(jnp.int8), s
 
 
+def _kernel_mlp2_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                      o_ref):
+    """W8A8 ``Linear -> ReLU -> Linear`` (torch nn.Sequential mlp2).
+
+    The fusion stack's FFNs (cross_modal ffn_a/ffn_t, decoder FFNs) have
+    no in-block LayerNorm/residual — the model applies LN(x + ffn)
+    outside (one fused XLA elementwise pass). Same quantize->dot->
+    dequant chain as the GELU kernel below; ReLU runs on the fp32
+    pre-activation.
+    """
+    x = x_ref[:].astype(jnp.float32)                        # [BM, D]
+    xq, xs = _quant_rows(x)
+    h = jax.lax.dot_general(xq, w1_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    h = h.astype(jnp.float32) * xs * s1_ref[:] + b1_ref[:]  # [BM, F]
+    h = jnp.maximum(h, 0.0)
+    hq, hs = _quant_rows(h)
+    y = jax.lax.dot_general(hq, w2_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    o_ref[:] = (y.astype(jnp.float32) * hs * s2_ref[:]
+                + b2_ref[:]).astype(o_ref.dtype)
+
+
 def _kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                  g_ref, b_ref, o_ref, *, eps, fast_gelu):
     x = x_ref[:].astype(jnp.float32)                        # [BM, D]
@@ -241,6 +264,58 @@ def ffn_block_int8(x, qp, ln_weight, ln_bias, eps=1e-5, fast_gelu=True,
     """
     return _ffn_block_int8_impl(x, qp, ln_weight, ln_bias, eps, fast_gelu,
                                 block_m)
+
+
+def mlp2_int8(p0, p2, x, block_m=BLOCK_M):
+    """Fused W8A8 mlp2 over x [..., D] (see _kernel_mlp2_int8)."""
+    shape = x.shape
+    d = shape[-1]
+    f = p0["w_int8"].shape[0]
+    xp = _pad_rows(x.reshape(-1, d), block_m)
+    qp = dict(
+        w1_q=p0["w_int8"].T, w1_s=p0["w_scale"].T.astype(jnp.float32),
+        b1=p0["bias"].astype(jnp.float32)[None, :],
+        w2_q=p2["w_int8"].T, w2_s=p2["w_scale"].T.astype(jnp.float32),
+        b2=p2["bias"].astype(jnp.float32)[None, :],
+    )
+    out = pl.pallas_call(
+        _kernel_mlp2_int8,
+        grid=(xp.shape[0] // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * xp.shape[0] * d * f,
+            bytes_accessed=xp.shape[0] * d * 2 * 2 + d * f * 2,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xp, qp["w1_q"], qp["w1_s"], qp["b1"], qp["w2_q"], qp["w2_s"], qp["b2"])
+    return out[:x.reshape(-1, d).shape[0]].reshape(shape)
+
+
+def use_mlp2_int8(p0, p2) -> bool:
+    """Route the fused mlp2: int8 params on TPU, kernel-legal shapes."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+    if not (on_tpu and "w_int8" in p0 and "w_int8" in p2
+            and "bias" in p0 and "bias" in p2):
+        return False
+    f, d = p0["w_int8"].shape
+    return d % 128 == 0 and f % 128 == 0 and 2 * d * f <= 8 * 2 ** 20
 
 
 def route_ffn_block(p_in, p_out, p_ln, x, eps, fast_gelu):

@@ -159,3 +159,21 @@ def test_mha_int8_dispatch_matches_bf16():
     err = np.abs(np.asarray(ref) - np.asarray(got))
     rel = err.max() / (np.abs(np.asarray(ref)).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_mlp2_int8_fused_matches_per_op():
+    """Fused W8A8 mlp2 kernel == per-op int8 Linear-ReLU-Linear."""
+    from hriemo.nn.layers import linear_apply, mlp2_init, relu
+    from hriemo.ops.fused_ffn import mlp2_int8
+    from hriemo.ops.quant import quantize_tree_for_serving
+
+    p = quantize_tree_for_serving(mlp2_init(jax.random.key(0), 256, 512, 256),
+                                  min_dim=128)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((3, 17, 256)).astype(np.float32) * 0.5)
+    ref = linear_apply(p["2"], relu(linear_apply(p["0"], x)))
+    got = mlp2_int8(p["0"], p["2"], x, block_m=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+    med = np.median(np.abs(np.asarray(got) - np.asarray(ref)))
+    assert med < 2e-3, med
