@@ -267,11 +267,16 @@ def ffn_block_int8(x, qp, ln_weight, ln_bias, eps=1e-5, fast_gelu=True,
 
 
 def mlp2_int8(p0, p2, x, block_m=BLOCK_M):
-    """Fused W8A8 mlp2 over x [..., D] (see _kernel_mlp2_int8)."""
+    """Fused W8A8 mlp2 over x [..., Din] -> [..., Dout].
+
+    Rectangular widths supported (the TACFN β-gate is 3072->256->768).
+    See _kernel_mlp2_int8.
+    """
     shape = x.shape
-    d = shape[-1]
-    f = p0["w_int8"].shape[0]
-    xp = _pad_rows(x.reshape(-1, d), block_m)
+    din = shape[-1]
+    f, dout = p0["w_int8"].shape[0], p2["w_int8"].shape[0]
+    rows = x.reshape(-1, din).shape[0]
+    xp = _pad_rows(x.reshape(-1, din), block_m)
     qp = dict(
         w1_q=p0["w_int8"].T, w1_s=p0["w_scale"].T.astype(jnp.float32),
         b1=p0["bias"].astype(jnp.float32)[None, :],
@@ -282,27 +287,27 @@ def mlp2_int8(p0, p2, x, block_m=BLOCK_M):
         _kernel_mlp2_int8,
         grid=(xp.shape[0] // block_m,),
         in_specs=[
-            pl.BlockSpec((block_m, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, din), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((din, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, dout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_m, dout), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((xp.shape[0], d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], dout), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
-            flops=4 * xp.shape[0] * d * f,
-            bytes_accessed=xp.shape[0] * d * 2 * 2 + d * f * 2,
+            flops=2 * xp.shape[0] * f * (din + dout),
+            bytes_accessed=xp.shape[0] * (din + dout) * 2 + (din + dout) * f,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
     )(xp, qp["w1_q"], qp["w1_s"], qp["b1"], qp["w2_q"], qp["w2_s"], qp["b2"])
-    return out[:x.reshape(-1, d).shape[0]].reshape(shape)
+    return out[:rows].reshape(shape[:-1] + (dout,))
 
 
 def use_mlp2_int8(p0, p2) -> bool:
@@ -314,8 +319,10 @@ def use_mlp2_int8(p0, p2) -> bool:
     if not (on_tpu and "w_int8" in p0 and "w_int8" in p2
             and "bias" in p0 and "bias" in p2):
         return False
-    f, d = p0["w_int8"].shape
-    return d % 128 == 0 and f % 128 == 0 and 2 * d * f <= 8 * 2 ** 20
+    f, din = p0["w_int8"].shape
+    dout = p2["w_int8"].shape[0]
+    return (din % 128 == 0 and f % 128 == 0 and dout % 128 == 0
+            and (din + dout) * f <= 8 * 2 ** 20)
 
 
 def route_ffn_block(p_in, p_out, p_ln, x, eps, fast_gelu):

@@ -167,13 +167,17 @@ def test_mlp2_int8_fused_matches_per_op():
     from hriemo.ops.fused_ffn import mlp2_int8
     from hriemo.ops.quant import quantize_tree_for_serving
 
-    p = quantize_tree_for_serving(mlp2_init(jax.random.key(0), 256, 512, 256),
-                                  min_dim=128)
-    rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.standard_normal((3, 17, 256)).astype(np.float32) * 0.5)
-    ref = linear_apply(p["2"], relu(linear_apply(p["0"], x)))
-    got = mlp2_int8(p["0"], p["2"], x, block_m=64)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=2e-2, rtol=2e-2)
-    med = np.median(np.abs(np.asarray(got) - np.asarray(ref)))
-    assert med < 2e-3, med
+    # square (the cross-modal FFN shape class) AND rectangular (the TACFN
+    # beta-gate is 3072->256->768 — caught a square-only kernel bug)
+    for din, f, dout in [(256, 512, 256), (384, 128, 256)]:
+        p = quantize_tree_for_serving(
+            mlp2_init(jax.random.key(0), din, f, dout), min_dim=128)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((3, 17, din)).astype(np.float32) * 0.5)
+        ref = linear_apply(p["2"], relu(linear_apply(p["0"], x)))
+        got = mlp2_int8(p["0"], p["2"], x, block_m=64)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
+        med = np.median(np.abs(np.asarray(got) - np.asarray(ref)))
+        assert med < 2e-3, med
