@@ -51,8 +51,15 @@ def parse_args(argv=None):
                     help="override the quality gate: run pretrained weights "
                          "with the validation-only hash tokenizer")
     ap.add_argument("--int8", action="store_true",
-                    help="W8A8 int8 frontends (2x MXU peak on v5e; numerics "
-                         "contract in tests/test_quant.py)")
+                    help="W8A8 int8 serving (frontends + fusion stack via "
+                         "the Pallas megakernels; numerics contract in "
+                         "tests/test_quant.py, gated by bench.py)")
+    ap.add_argument("--scheduler", choices=["bucket", "batch"],
+                    default="bucket",
+                    help="'bucket' (default) regroups clips into per-"
+                         "length-bucket queues flushed at each bucket's "
+                         "measured-optimal batch; 'batch' keeps fixed "
+                         "arrival-order host batches (round-1 behavior)")
     ap.add_argument("--out_dir", type=str, default="outputs/e2e_infer")
     return ap.parse_args(argv)
 
@@ -154,10 +161,28 @@ def main(argv=None):
             uids = [str(getattr(r, uid_col)) for r in chunk]
             yield wavs, texts, uids
 
+    def clips():
+        for r in df.itertuples():
+            wav, _sr = prepare_waveform(getattr(r, args.audio_col), pad=False,
+                                        max_seconds=args.max_seconds)
+            yield wav, str(getattr(r, args.text_col)), str(getattr(r, uid_col))
+
+    if args.scheduler == "bucket":
+        # per-bucket queues at measured-optimal batch sizes (capped by
+        # --batch_size so tiny runs still flush promptly)
+        from .streaming import MEASURED_BUCKET_BATCH
+
+        bb = {sec: min(b, max(args.batch_size, 1))
+              for sec, b in MEASURED_BUCKET_BATCH.items()}
+        stream = pipe.stream_bucketed(clips(), bucket_batch=bb,
+                                      default_batch=args.batch_size)
+    else:
+        stream = pipe.stream(batches())
+
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     all_probs, all_uids, all_betas = [], [], []
-    for probs, beta, uids in pipe.stream(batches()):
+    for probs, beta, uids in stream:
         all_probs.append(probs)
         all_betas.append(beta.reshape(len(uids), -1).mean(axis=1))
         all_uids.extend(uids)

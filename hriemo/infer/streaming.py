@@ -22,6 +22,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Measured-optimal serving batch per length bucket (v5e, int8 path,
+# re-searched after the Pallas megakernels landed — bench.py BUCKET_B):
+# B=128 wins per-utt at 2.5 s and 10 s, B=64 at 5 s; B=256 regresses.
+MEASURED_BUCKET_BATCH = {2.5: 128, 5.0: 64, 10.0: 128}
+
 
 class StreamingPipeline:
     """Fused frontends + fusion-stack inference.
@@ -40,7 +45,8 @@ class StreamingPipeline:
     def __init__(self, wavlm, bert, fusion, tokenizer=None,
                  max_seconds: float = 10.0, max_tokens: int = 128,
                  compute_dtype=jnp.bfloat16, multi_label: bool = True,
-                 bucket_seconds: tuple = (), int8_frontends: bool = False):
+                 bucket_seconds: tuple = (), int8_frontends: bool = False,
+                 int8_fusion: bool | None = None):
         self.wavlm = wavlm
         self.bert = bert
         self.fusion = fusion
@@ -68,16 +74,23 @@ class StreamingPipeline:
             "bert": cast(bert.params),
             "fusion": cast(fusion.params),
         }
-        if int8_frontends:
-            # W8A8 serving on the frontend GEMMs (the v5e MXU doubles its
-            # peak for int8); the fusion stack stays in compute_dtype —
-            # it is small and carries the quality-critical β gate. The
-            # numerics contract is tested in tests/test_quant.py and
-            # measured at the product config by bench.py.
+        if int8_fusion is None:
+            int8_fusion = int8_frontends
+        if int8_frontends or int8_fusion:
+            # W8A8 serving through the Pallas megakernels (attention
+            # sublayer + fused FFN/mlp2). The fusion stack's β moved
+            # < 1e-4 in the routing A/B and the e2e softmax-prob delta
+            # is gated by bench.py (≤ 0.005 at the product config), so
+            # int8 covers the full serving tree by default; pass
+            # ``int8_fusion=False`` to keep the fusion stack in
+            # compute_dtype (round-1 behavior).
             from ..ops.quant import quantize_tree_for_serving
 
-            params["wavlm"] = quantize_tree_for_serving(params["wavlm"])
-            params["bert"] = quantize_tree_for_serving(params["bert"])
+            if int8_frontends:
+                params["wavlm"] = quantize_tree_for_serving(params["wavlm"])
+                params["bert"] = quantize_tree_for_serving(params["bert"])
+            if int8_fusion:
+                params["fusion"] = quantize_tree_for_serving(params["fusion"])
         self._params = params
         self._dt = dt
 
@@ -133,6 +146,60 @@ class StreamingPipeline:
         arrs = self.preprocess(waveforms, texts, sample_rate)
         probs, beta = self._forward(self._params, *map(jnp.asarray, arrs))
         return np.asarray(probs), np.asarray(beta)
+
+    def stream_bucketed(self, clips, sample_rate: int = 16_000,
+                        bucket_batch: dict | None = None,
+                        default_batch: int = 64):
+        """Bucket-queue scheduler: regroup clips by length bucket and flush
+        each bucket at its measured-optimal batch size.
+
+        ``stream`` pads every host batch to its LONGEST clip's bucket, so
+        one 10 s clip drags a batch of 2.5 s clips to 4x their compute.
+        This scheduler instead maintains one queue per bucket and flushes
+        a queue when it reaches that bucket's batch size (defaults:
+        :data:`MEASURED_BUCKET_BATCH`, the per-bucket optima measured by
+        bench.py; unlisted buckets use ``default_batch``). Remaining
+        partial batches flush at end of stream. A clip's result depends
+        only on its own bucket (padding is masked; the layer-0 GroupNorm
+        caveat above is per-bucket, same as ``stream``), so regrouping is
+        numerics-neutral vs running the same clip in any other batch of
+        its bucket.
+
+        ``clips`` yields ``(waveform, text[, uid])`` triples. Yields
+        ``(probs, beta, uids)`` per flushed batch — NOT in arrival order;
+        join on uids.
+        """
+        if bucket_batch is None:
+            bucket_batch = MEASURED_BUCKET_BATCH
+        queues: dict[float, list] = {sec: [] for sec in self.bucket_seconds}
+
+        def flush(sec):
+            q = queues[sec]
+            if not q:
+                return None
+            queues[sec] = []
+            wavs = [c[0] for c in q]
+            texts = [c[1] for c in q]
+            uids = [c[2] for c in q]
+            # preprocess pads to the queue's own bucket by construction
+            arrs = self.preprocess(wavs, texts, sample_rate)
+            probs, beta = self._forward(self._params, *map(jnp.asarray, arrs))
+            return np.asarray(probs), np.asarray(beta), uids
+
+        for i, clip in enumerate(clips):
+            wav = clip[0]
+            text = clip[1]
+            uid = clip[2] if len(clip) > 2 else i
+            sec = self._bucket_for([wav], sample_rate)
+            queues[sec].append((wav, text, uid))
+            if len(queues[sec]) >= bucket_batch.get(sec, default_batch):
+                out = flush(sec)
+                if out is not None:
+                    yield out
+        for sec in self.bucket_seconds:
+            out = flush(sec)
+            if out is not None:
+                yield out
 
     def stream(self, batches, sample_rate: int = 16_000):
         """Double-buffered streaming: ``batches`` yields

@@ -111,3 +111,59 @@ def test_e2e_infer_cli(tmp_path):
     assert np.isfinite(probs).all()
     beta = np.load(out / "test_beta_mean.npy")
     assert beta.shape == (len(uids),)
+
+
+def test_stream_bucketed_scheduler(pipe):
+    """Bucket-queue scheduler: all clips come back exactly once, grouped
+    into their own bucket's batches, with results identical to running
+    each clip through infer() (regrouping is numerics-neutral)."""
+    import jax.numpy as jnp
+
+    from hriemo.infer.streaming import StreamingPipeline
+
+    rng = np.random.default_rng(2)
+    # buckets at 0.05 s / 0.1 s (cap)
+    p2 = StreamingPipeline(pipe.wavlm, pipe.bert, pipe.fusion,
+                           tokenizer=pipe.tokenizer, max_seconds=0.1,
+                           max_tokens=8, compute_dtype=jnp.float32,
+                           bucket_seconds=(0.05,))
+    clips = []
+    for i in range(7):
+        n = 500 if i % 3 else 1300   # mixed buckets, unbalanced
+        clips.append((rng.standard_normal(n).astype(np.float32),
+                      f"word{i} more", f"u{i}"))
+
+    out = list(p2.stream_bucketed(iter(clips), bucket_batch={0.05: 3},
+                                  default_batch=2))
+    got = {}
+    for probs, beta, uids in out:
+        assert probs.shape[0] == len(uids)
+        for j, u in enumerate(uids):
+            got[u] = probs[j]
+    assert sorted(got) == [f"u{i}" for i in range(7)]
+
+    sizes = sorted(p.shape[0] for p, _, _ in out)
+    assert sum(sizes) == 7
+
+    # numerics-neutral vs single-clip infer
+    for wav, text, uid in clips[:3]:
+        probs, _ = p2.infer([wav], [text])
+        np.testing.assert_allclose(got[uid], probs[0], atol=1e-5, rtol=1e-5)
+
+
+def test_stream_bucketed_int8_full_tree(pipe):
+    """int8 serving covers the fusion stack too (int8_fusion default)."""
+    import jax.numpy as jnp
+
+    from hriemo.infer.streaming import StreamingPipeline
+    from hriemo.ops.quant import count_quantized
+
+    p8 = StreamingPipeline(pipe.wavlm, pipe.bert, pipe.fusion,
+                           tokenizer=pipe.tokenizer, max_seconds=0.1,
+                           max_tokens=8, compute_dtype=jnp.float32,
+                           int8_frontends=True)
+    assert count_quantized(p8._params["fusion"]) == 0  # tiny dims skip
+    rng = np.random.default_rng(3)
+    probs, beta = p8.infer([rng.standard_normal(900).astype(np.float32)],
+                           ["ok then"])
+    assert np.isfinite(probs).all()
