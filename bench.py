@@ -58,7 +58,8 @@ SR = 16_000
 # tile). Batch size was re-searched AFTER the megakernels landed (their
 # grid-over-batch amortises differently): B=128 now wins per-utt at the
 # 2.5 s (0.475 vs 0.508 ms) and 10 s (1.395 vs 1.443) buckets, B=64
-# stays best at 5 s, and B=256 regresses everywhere.
+# stays best at 5 s (B=96: 0.766, B=128: 0.795, B=192: 0.784 ms/utt),
+# and B=256 regresses everywhere.
 BUCKETS_S = (2.5, 5.0, 10.0)
 BUCKET_B = {2.5: 128, 5.0: 64, 10.0: 128}
 B = 64  # FLOP-accounting / latency reference batch
