@@ -66,6 +66,12 @@ B = 64  # FLOP-accounting / latency reference batch
 LT = 128
 ITERS = 10
 REPEATS = 5  # best-of-5 over the flaky tunnel (VERDICT r1 weak #5)
+SPREAD_TOL = 0.05  # re-sample harder above this; annotate if still above
+# int8 numerics gate (advisor r2, medium): measured 0.00405 at the product
+# config in BENCH_r02; fail the bench loudly if the serving path drifts.
+# Caveat: random-init weights — the real-weight outlier check is
+# tools/validate_pretrained_bridges.py --int8-report.
+INT8_PROB_DELTA_MAX = 0.006
 V5E_BF16_PEAK = 197e12  # TFLOP/s, bf16 MXU peak per v5e chip
 
 # Published IEMOCAP duration statistics (Busso et al. 2008): 12h26m over
@@ -87,6 +93,152 @@ def _duration_mix(n=4096, seed=0):
     mu = np.log(IEMOCAP_MEAN_S) - 0.5 * sigma**2
     d = rng.lognormal(mean=mu, sigma=sigma, size=n)
     return np.clip(d, 0.6, 10.0)
+
+
+def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
+                    n_clips: int = 1536):
+    """The serving path AS SERVED (VERDICT r2 missing #4 / next #2).
+
+    Drives the product scheduler — ``StreamingPipeline.stream_bucketed``
+    (int8 tree, per-bucket queues at the measured-optimal batches,
+    overlapped host/device via the one-deep pending queue, pad_flush
+    static shapes) — over a realistic clip stream with REAL host work
+    per batch (wav pad/bucket + tokenisation), and reports sustained
+    utterances/sec plus the host-stall fraction vs the pure device-scan
+    budget (``bucket_stats``). Compile time is excluded (each bucket
+    shape is warmed first): this measures steady-state serving, matching
+    the reference's 3-stage offline pipeline boundary (SURVEY.md §3.5).
+    """
+    from hriemo.dataprep.extract_iemocap import _HashTokenizer
+    from hriemo.infer.streaming import MEASURED_BUCKET_BATCH, StreamingPipeline
+
+    pipe = StreamingPipeline(
+        wavlm, bert, fusion, tokenizer=_HashTokenizer(30522),
+        max_seconds=10.0, max_tokens=LT, multi_label=False,
+        bucket_seconds=(2.5, 5.0), int8_frontends=True)
+
+    durations = _duration_mix(n=n_clips, seed=7)
+    words = np.array("happy sad angry neutral really very today fine so not"
+                     .split())
+    rs = np.random.default_rng(7)
+    clips = [
+        (rs.standard_normal(int(d * SR)).astype(np.float32) * 0.1,
+         " ".join(rs.choice(words, size=12)), i)
+        for i, d in enumerate(durations)
+    ]
+
+    # warm each bucket's compiled shape (one full batch per bucket)
+    for sec in BUCKETS_S:
+        b = MEASURED_BUCKET_BATCH[sec]
+        warm = [(np.zeros(int(sec * SR) - 1, np.float32), "warm", -1)] * b
+        for _ in pipe.stream_bucketed(iter(warm), bucket_batch=MEASURED_BUCKET_BATCH):
+            pass
+
+    n_done = 0
+    t0 = time.perf_counter()
+    for probs, _beta, uids in pipe.stream_bucketed(
+            iter(clips), bucket_batch=MEASURED_BUCKET_BATCH, pad_flush=True):
+        n_done += len(uids)
+    wall = time.perf_counter() - t0
+    assert n_done == n_clips, (n_done, n_clips)
+
+    # pure-device budget for the same flush schedule (full + padded-final)
+    bucket_of = np.searchsorted(np.asarray(BUCKETS_S), durations)
+    device_s = 0.0
+    for i, sec in enumerate(BUCKETS_S):
+        n = int((bucket_of == i).sum())
+        flushes = -(-n // MEASURED_BUCKET_BATCH[sec])
+        device_s += flushes * bucket_stats[sec][0]
+    return {
+        "utt_per_sec_sustained": round(n_done / wall, 1),
+        "host_stall_pct": round(max(0.0, wall - device_s) / wall * 100, 1),
+        "device_budget_ms": round(device_s * 1000, 1),
+        "wall_ms": round(wall * 1000, 1),
+        "n_clips": n_clips,
+        "note": ("stream_bucketed as served: host wav-prep + tokenisation "
+                 "overlapped with device compute (one-deep pending queue), "
+                 "pad_flush static shapes; compile excluded"),
+    }
+
+
+def bench_train(n_steps: int = 20, repeats: int = 3):
+    """One measured training number (VERDICT r2 missing #5 / next #6).
+
+    The flagship MOSEI v2 config (scripts/fusion/README.md v2:
+    d_model=256, 4 heads, 1 fusion + 2 decoder layers, beta_hidden=64,
+    dropout=0.4, lr 5e-5, wd 0.05, batch 16 x grad-accum 2, pos_weight
+    BCE + β-entropy 1e-3, label normalisation), bf16 compute / fp32
+    params, real sequence caps La=300/Lt=128. ms/step is a full
+    forward+backward+AdamW update including the 2-microbatch lax.scan.
+    """
+    from hriemo.models import MoseiFusionWithEmotionDecoder
+    from hriemo.parallel.train_step import (TrainConfig, create_train_state,
+                                            make_train_step)
+
+    LA, LTT, BT, ACC = 300, 128, 16, 2
+    model = MoseiFusionWithEmotionDecoder(
+        d_audio=74, d_text=300, d_model=256, num_emotions=6, n_heads=4,
+        num_layers_fusion=1, num_layers_decoder=2, beta_hidden=64,
+        dropout=0.4)
+    cfg = TrainConfig(
+        loss_type="multi_label",
+        pos_weight=[0.87, 2.82, 3.63, 8.94, 4.53, 11.27],  # README v2 table
+        beta_entropy=1e-3, normalize_labels=True,
+        lr=5e-5, weight_decay=0.05, grad_accum=ACC,
+        warmup_steps=100, total_steps=10_000,
+        compute_dtype=jnp.bfloat16)
+    state = create_train_state(model, cfg, rng=jax.random.key(0))
+    step = make_train_step(model, cfg, donate=False)
+
+    rs = np.random.default_rng(3)
+    batch = {
+        "h_a": jnp.asarray(rs.standard_normal((ACC, BT, LA, 74)).astype(np.float32)),
+        "h_t": jnp.asarray(rs.standard_normal((ACC, BT, LTT, 300)).astype(np.float32)),
+        "mask_a": jnp.asarray(np.arange(LA)[None, None, :]
+                              >= rs.integers(LA // 2, LA + 1, size=(ACC, BT))[..., None]),
+        "mask_t": jnp.asarray(np.arange(LTT)[None, None, :]
+                              >= rs.integers(LTT // 2, LTT + 1, size=(ACC, BT))[..., None]),
+        "y": jnp.asarray(rs.uniform(0, 3, size=(ACC, BT, 6)).astype(np.float32)),
+    }
+    key = jax.random.key(1)
+
+    flops = None
+    try:
+        ca = step.lower(state, batch, key).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+    except Exception:
+        pass
+
+    @jax.jit
+    def many(state, batch, k):
+        def body(s, i):
+            s2, m = step(s, batch, jax.random.fold_in(k, i))
+            return s2, m["loss"]
+        s, losses = jax.lax.scan(body, state, jnp.arange(n_steps))
+        return losses[-1]
+
+    float(many(state, batch, key))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(many(state, batch, key))
+        best = min(best, (time.perf_counter() - t0) / n_steps)
+
+    out = {
+        "config": ("MOSEI v2 flagship: d_model=256 h4 1xfusion+2xdecoder, "
+                   "bf16 compute/fp32 params, batch 16 x accum 2, "
+                   "La=300 Lt=128, pos_weight BCE + beta-entropy, AdamW"),
+        "ms_per_step": round(best * 1000, 2),
+        "examples_per_sec": round(BT * ACC / best, 1),
+        "tokens_per_sec": round(BT * ACC * (LA + LTT) / best, 0),
+        "timing": f"best-of-{repeats}, {n_steps} steps per jitted scan",
+    }
+    if flops:
+        out["mfu"] = round(flops / best / V5E_BF16_PEAK, 3)
+        out["mfu_note"] = "compiled-HLO FLOPs of one full update / ms_per_step / bf16 peak"
+    return out
 
 
 def main():
@@ -162,23 +314,40 @@ def main():
             return None
 
     def measure(batch, seconds, iters=ITERS, params=None, want_flops=True):
+        """Returns (best_s, median_s, spread, flops) per batch.
+
+        Spread hardening (VERDICT r2 weak #2): when (max-min)/best across
+        repeats exceeds SPREAD_TOL the sample doubles (more repeats at
+        more iters each) and the spread is recomputed over the longer-iter
+        sample only — the 5 s bucket showed 16.5% spread at 5x10 in
+        BENCH_r02; transients over the remote tunnel average out with
+        more iters per timed call.
+        """
         t = int(seconds * SR)
-        fn = e2e_fn(iters)
         wavs = jnp.asarray(rng.standard_normal((batch, t)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
         wmask = jnp.ones((batch, t), jnp.int32)
         ids = jnp.asarray(rng.integers(0, 30000, size=(batch, LT)).astype(np.int32))
         tmask = jnp.ones((batch, LT), jnp.int32)
-        args = (P if params is None else params, wavs, wmask, ids, tmask)
+        p = P if params is None else params
+
+        def sample(n_repeats, n_iters):
+            fn = e2e_fn(n_iters)
+            a = (p, wavs, wmask, ids, tmask)
+            float(fn(*a))  # compile + warm
+            times = []
+            for _ in range(n_repeats):
+                t0 = time.perf_counter()
+                float(fn(*a))
+                times.append((time.perf_counter() - t0) / n_iters)
+            return times, a
+
+        times, args = sample(REPEATS, iters)
+        spread = (max(times) - min(times)) / min(times)
+        if spread > SPREAD_TOL:
+            times, args = sample(2 * REPEATS, 2 * iters)
+            spread = (max(times) - min(times)) / min(times)
         flops = _cost_flops(args) if want_flops else None
-        float(fn(*args))  # compile + warm
-        times = []
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            float(fn(*args))
-            times.append((time.perf_counter() - t0) / iters)
-        best = min(times)
-        spread = (max(times) - best) / best
-        return best, spread, flops  # seconds per batch, rel spread, FLOPs/batch
+        return min(times), float(np.median(times)), spread, flops
 
     # per-bucket steady-state cost at each bucket's measured-optimal batch
     bucket_stats = {sec: measure(BUCKET_B[sec], sec) for sec in BUCKETS_S}
@@ -202,6 +371,11 @@ def main():
     p_int8 = np.asarray(_probs(P, wavs5, ones(t5), ids5, ones(LT)))
     p_bf16 = np.asarray(_probs(P16, wavs5, ones(t5), ids5, ones(LT)))
     int8_prob_delta = float(np.abs(p_int8 - p_bf16).max())
+    # actually GATE the numerics (advisor r2): a silent int8 regression
+    # must fail the bench, not just annotate the JSON
+    assert int8_prob_delta <= INT8_PROB_DELTA_MAX, (
+        f"int8 serving numerics regression: prob delta {int8_prob_delta:.5f} "
+        f"> {INT8_PROB_DELTA_MAX} vs bf16 (random-init weights)")
 
     fn5 = e2e_fn(ITERS)
     args5 = (P16, wavs5, ones(t5), ids5, ones(LT))
@@ -255,9 +429,10 @@ def main():
 
     mfu = {
         str(sec): round(flops / t_s / V5E_BF16_PEAK, 3)
-        for sec, (t_s, _, flops) in bucket_stats.items() if flops
+        for sec, (t_s, _, _, flops) in bucket_stats.items() if flops
     }
-    print(json.dumps({
+    spreads = {str(sec): round(s[2], 3) for sec, s in bucket_stats.items()}
+    out = {
         "metric": "iemocap_e2e_utterances_per_sec_per_chip_incl_frontends",
         "value": round(e2e_utt_per_sec, 1),
         "unit": "utterances/sec/chip",
@@ -267,19 +442,33 @@ def main():
         "bucket_cfg": {str(sec): {
             "batch": BUCKET_B[sec],
             "ms_per_batch": round(bucket_stats[sec][0] * 1000, 1),
+            "ms_per_batch_median": round(bucket_stats[sec][1] * 1000, 1),
             "ms_per_utt": round(per_utt_s[sec] * 1000, 3),
         } for sec in BUCKETS_S},
         "serving_precision": ("int8 W8A8 end-to-end: Pallas attention-sublayer "
                               "megakernels (WavLM gated + generic MHA) + fused "
                               "FFN; bf16 LN/softmax/residuals"),
         "int8_prob_delta": round(int8_prob_delta, 5),
+        "int8_prob_delta_note": (f"gated <= {INT8_PROB_DELTA_MAX} (bench asserts); "
+                                 "measured on random-init weights — real-weight "
+                                 "outlier check: tools/validate_pretrained_bridges"
+                                 ".py --int8-report"),
         "bf16_ms_per_batch64_5s": round(bf16_best * 1000, 1),
-        "spread": {str(sec): round(sp, 3) for sec, (_, sp, _) in bucket_stats.items()},
+        "spread": spreads,
         "mfu": mfu,
         "mfu_note": f"compiled-HLO FLOPs / time / v5e bf16 peak ({V5E_BF16_PEAK/1e12:.0f} TF/s)",
-        "timing": f"best-of-{REPEATS}, {ITERS} iters per sample inside one jitted scan",
+        "timing": (f"best-of-{REPEATS}, {ITERS} iters per sample inside one "
+                   f"jitted scan; buckets over {SPREAD_TOL:.0%} spread re-run "
+                   f"at {2*REPEATS}x{2*ITERS}; median reported alongside best"),
         "duration_mix": DURATION_MIX_NOTE,
-    }))
+    }
+    warn = {k: v for k, v in spreads.items() if v > SPREAD_TOL}
+    if warn:
+        out["spread_warning"] = warn
+    out["scheduler"] = bench_scheduler(
+        wavlm, bert, fusion, bucket_stats, rng)
+    out["train"] = bench_train()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -28,7 +28,11 @@ def parse_args(argv=None):
     ap.add_argument("--audio_col", type=str, default="audio_path")
     ap.add_argument("--text_col", type=str, default="text")
     ap.add_argument("--uid_col", type=str, default=None)
-    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--batch_size", type=int, default=None,
+                    help="host batch size. Default: the bucket scheduler "
+                         "uses each bucket's measured-optimal batch "
+                         "(128/64/128) uncapped; the 'batch' scheduler "
+                         "uses 16. Pass explicitly to cap both.")
     ap.add_argument("--max_seconds", type=float, default=10.0)
     ap.add_argument("--bucket_seconds", type=float, nargs="+",
                     default=[2.5, 5.0, 10.0])  # 7.5 measured slower per-utt than 10 (see bench.py)
@@ -150,10 +154,12 @@ def main(argv=None):
 
     uid_col = resolve_uid_col(df, args.uid_col)
 
+    host_bs = args.batch_size if args.batch_size is not None else 16
+
     def batches():
         rows = list(df.itertuples())
-        for i in range(0, len(rows), args.batch_size):
-            chunk = rows[i : i + args.batch_size]
+        for i in range(0, len(rows), host_bs):
+            chunk = rows[i : i + host_bs]
             wavs = [prepare_waveform(getattr(r, args.audio_col), pad=False,
                                      max_seconds=args.max_seconds)[0]
                     for r in chunk]
@@ -168,14 +174,20 @@ def main(argv=None):
             yield wav, str(getattr(r, args.text_col)), str(getattr(r, uid_col))
 
     if args.scheduler == "bucket":
-        # per-bucket queues at measured-optimal batch sizes (capped by
-        # --batch_size so tiny runs still flush promptly)
+        # per-bucket queues at measured-optimal batch sizes; an explicit
+        # --batch_size caps them (tiny runs / memory-constrained hosts) —
+        # by default the measured optima apply unclipped (advisor finding,
+        # round 2: a default cap of 16 silently disabled them)
         from .streaming import MEASURED_BUCKET_BATCH
 
-        bb = {sec: min(b, max(args.batch_size, 1))
-              for sec, b in MEASURED_BUCKET_BATCH.items()}
+        if args.batch_size is None:
+            bb, default_b = dict(MEASURED_BUCKET_BATCH), 64
+        else:
+            bb = {sec: min(b, max(args.batch_size, 1))
+                  for sec, b in MEASURED_BUCKET_BATCH.items()}
+            default_b = args.batch_size
         stream = pipe.stream_bucketed(clips(), bucket_batch=bb,
-                                      default_batch=args.batch_size)
+                                      default_batch=default_b)
     else:
         stream = pipe.stream(batches())
 

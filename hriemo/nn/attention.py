@@ -83,7 +83,10 @@ def mha_apply(
     assert head_dim * n_heads == d_model, "d_model must divide n_heads"
 
     if "in_proj_w_int8" in params and key is value and not need_weights \
-            and not (train and dropout_rate > 0.0):
+            and not (train and dropout_rate > 0.0) and use_kernel is not False:
+        # use_kernel=False must force the einsum reference path even on a
+        # quantized tree — it is the debug/numerics escape hatch (advisor
+        # finding, round 2)
         from ..ops.attention_block import mha_block_int8, use_mha_block
 
         if use_mha_block(params, query.shape[1], key.shape[1], d_model,

@@ -348,4 +348,7 @@ def group_norm_stats_from_waveform(wave, conv0_weight):
     ex2 = (jnp.einsum("bij,ic,jc->bc", gaa, w1, w1)
            + 2.0 * jnp.einsum("bij,ic,jc->bc", gar, w1, w2)
            + jnp.einsum("bij,ic,jc->bc", grr, w2, w2)) / n
-    return mean, ex2 - mean * mean
+    # E[x^2]-mean^2 cancels catastrophically for near-constant conv0
+    # outputs (DC-offset/silence clips); clamp so rstd never sees a
+    # tiny-negative variance (advisor finding, round 2)
+    return mean, jnp.maximum(ex2 - mean * mean, 0.0)

@@ -312,8 +312,10 @@ def mlp2_int8(p0, p2, x, block_m=BLOCK_M):
 
 def use_mlp2_int8(p0, p2) -> bool:
     """Route the fused mlp2: int8 params on TPU, kernel-legal shapes."""
+    from .attention_block import kernels_forced
+
     try:
-        on_tpu = jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu" or kernels_forced()
     except Exception:  # pragma: no cover
         return False
     if not (on_tpu and "w_int8" in p0 and "w_int8" in p2
@@ -366,8 +368,10 @@ def route_ffn_block(p_in, p_out, p_ln, x, eps, fast_gelu):
 
 def use_fused_ffn(d: int, f: int) -> bool:
     """VMEM budget + tiling legality for the single-pass kernel."""
+    from .attention_block import kernels_forced
+
     try:
-        on_tpu = jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu" or kernels_forced()
     except Exception:  # pragma: no cover
         return False
     # weights resident per kernel: int8 2·d·f bytes; tiles need 128 lanes

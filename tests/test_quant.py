@@ -181,3 +181,74 @@ def test_mlp2_int8_fused_matches_per_op():
                                    atol=2e-2, rtol=2e-2)
         med = np.median(np.abs(np.asarray(got) - np.asarray(ref)))
         assert med < 2e-3, med
+
+
+def test_int8_report_outlier_mitigation():
+    """CI for the pretrained int8 runbook (VERDICT r2 next #4): inject a
+    dominating activation channel (the classic W8A8 failure — one huge
+    channel inflates every row's dynamic scale and crushes the others)
+    and assert int8_numerics_report (a) sees the blown envelope, (b)
+    identifies the offending layer via the crest statistic, and (c) the
+    selective-bf16 mitigation brings the output back inside the envelope.
+    """
+    from hriemo.ops.quant import int8_numerics_report
+
+    rng = np.random.default_rng(0)
+    d = 64
+    lin = lambda o, i, s=0.3: {
+        "weight": jnp.asarray(rng.standard_normal((o, i)).astype(np.float32)) * s / np.sqrt(i),
+        "bias": jnp.zeros((o,), jnp.float32),
+    }
+    params = {"l1": lin(d, d, 4.0), "l2": lin(d, d, 4.0), "head": lin(8, d, 4.0)}
+    # inject: l1's output channel 3 is ~100x the rest -> l2 sees one
+    # dominating input channel in every row
+    params["l1"]["weight"] = params["l1"]["weight"].at[3].mul(300.0)
+
+    x = jnp.asarray(rng.standard_normal((32, d)).astype(np.float32))
+
+    def apply_fn(p, x):
+        h = jax.nn.relu(linear_apply(p["l1"], x))
+        h = jax.nn.relu(linear_apply(p["l2"], h))
+        logits = linear_apply(p["head"], h).astype(jnp.float32)
+        return {"probs": jax.nn.softmax(logits, -1)}
+
+    rep = int8_numerics_report(apply_fn, params, (x,), envelope=0.01,
+                               min_dim=8, max_reverts=3)
+
+    assert rep["n_quantized_layers"] == 3
+    assert rep["deltas_full_int8"]["probs"] > 0.01, (
+        "outlier injection should blow the envelope")
+    # the layer downstream of the dominating channel has the huge crest
+    assert rep["activation_amax"]["l2"]["crest_p90"] > \
+        1.5 * rep["activation_amax"]["l1"]["crest_p90"]
+    assert rep["reverted_layers"], "mitigation must engage"
+    assert rep["reverted_layers"][0] == "l2", (
+        "crest ranking should revert the poisoned layer first: "
+        f"{rep['reverted_layers']}")
+    assert rep["within_envelope"], rep["deltas_final"]
+    assert rep["deltas_final"]["probs"] <= 0.01
+
+
+def test_int8_report_clean_weights_within_envelope():
+    """Clean (non-outlier) weights pass the report without mitigation."""
+    from hriemo.ops.quant import int8_numerics_report
+
+    rng = np.random.default_rng(1)
+    d = 64
+    lin = lambda o, i: {
+        "weight": jnp.asarray(rng.standard_normal((o, i)).astype(np.float32)) / np.sqrt(i),
+        "bias": jnp.zeros((o,), jnp.float32),
+    }
+    params = {"l1": lin(d, d), "head": lin(8, d)}
+    x = jnp.asarray(rng.standard_normal((16, d)).astype(np.float32))
+
+    def apply_fn(p, x):
+        h = jax.nn.relu(linear_apply(p["l1"], x))
+        return {"probs": jax.nn.softmax(
+            linear_apply(p["head"], h).astype(jnp.float32), -1)}
+
+    rep = int8_numerics_report(apply_fn, params, (x,), envelope=0.02,
+                               min_dim=8)
+    assert rep["within_envelope"]
+    assert rep["reverted_layers"] == []
+    assert set(rep["activation_amax"]) == {"l1", "head"}

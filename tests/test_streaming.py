@@ -167,3 +167,42 @@ def test_stream_bucketed_int8_full_tree(pipe):
     probs, beta = p8.infer([rng.standard_normal(900).astype(np.float32)],
                            ["ok then"])
     assert np.isfinite(probs).all()
+
+
+def test_stream_bucketed_pad_flush(pipe):
+    """pad_flush pads partial flushes to the bucket's batch size with
+    filler clips, drops their rows, and yields identical results — every
+    flush then reuses one compiled shape per bucket (no per-remainder
+    recompiles, the TPU static-shape serving contract)."""
+    import jax.numpy as jnp
+
+    from hriemo.infer.streaming import StreamingPipeline
+
+    rng = np.random.default_rng(5)
+    p2 = StreamingPipeline(pipe.wavlm, pipe.bert, pipe.fusion,
+                           tokenizer=pipe.tokenizer, max_seconds=0.1,
+                           max_tokens=8, compute_dtype=jnp.float32,
+                           bucket_seconds=(0.05,))
+    clips = []
+    for i in range(5):  # 5 clips, batch 4 -> one full + one padded flush
+        n = 500 if i % 2 else 1300
+        clips.append((rng.standard_normal(n).astype(np.float32),
+                      f"word{i}", f"u{i}"))
+
+    plain = {}
+    for probs, _b, uids in p2.stream_bucketed(iter(clips),
+                                              bucket_batch={0.05: 4, 0.1: 4}):
+        for j, u in enumerate(uids):
+            plain[u] = probs[j]
+
+    padded = {}
+    for probs, _b, uids in p2.stream_bucketed(iter(clips),
+                                              bucket_batch={0.05: 4, 0.1: 4},
+                                              pad_flush=True):
+        assert probs.shape[0] == len(uids)  # filler rows sliced off
+        for j, u in enumerate(uids):
+            padded[u] = probs[j]
+
+    assert sorted(padded) == sorted(plain) == [f"u{i}" for i in range(5)]
+    for u in plain:
+        np.testing.assert_allclose(padded[u], plain[u], atol=1e-5, rtol=1e-5)

@@ -1,0 +1,273 @@
+#!/usr/bin/env python3
+"""Per-component speed-of-light budget for the serving path (VERDICT r2).
+
+Measures each serving component in isolation on the real TPU at every
+product bucket (scan + scalar-fetch timing, best-of-N) and compares it
+against its analytic compute ceiling:
+
+  * int8 GEMMs   → 130 TF/s  — the MEASURED toolchain int8 ceiling on
+    v5e through Pallas (ops/fused_ffn.py docstring: raw in-kernel int8
+    tops out at ~129.9 TF/s, NOT the nominal 394 TOPS — every claim in
+    this budget uses the measured ceiling, not the marketing number);
+  * bf16 compute → 197 TF/s  — v5e MXU bf16 peak (XLA convs measured at
+    ~100% of this, ops/conv_stack.py).
+
+For each component the table reports measured ms, ideal ms (analytic
+FLOPs / ceiling), and the gap. The gap row "non-MXU" is everything the
+ideal does not model: VPU work (softmax, LayerNorm, quantize/dequant,
+gates), DMA, and kernel boundaries. The blended summary converts the
+whole-pipeline gap into the auditable headroom number the round-2
+verdict asked for ("near speed-of-light" must be a table, not a claim).
+
+Writes PERF.md (+ perf_budget.json). Run: python tools/perf_budget.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+SR, LT = 16_000, 128
+BUCKETS = {2.5: 128, 5.0: 64, 10.0: 128}  # bucket s -> product batch
+ITERS, REPEATS = 10, 4
+INT8_TFS = 130e12   # measured in-kernel int8 ceiling (ops/fused_ffn.py)
+BF16_TFS = 197e12   # v5e bf16 MXU peak
+
+log = lambda *a: (print(*a), sys.stdout.flush())
+
+
+def conv_stack_flops(cfg, b: int, t_samples: int) -> tuple[float, int]:
+    """Analytic conv-stack FLOPs (bf16 XLA path) and output frame count."""
+    fl, t, cin = 0.0, t_samples, 1
+    for cout, k, s in zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride):
+        t = (t - k) // s + 1
+        fl += 2.0 * b * t * cin * cout * k
+        cin = cout
+    # feature projection [conv_dim[-1] -> D]
+    fl += 2.0 * b * t * cin * cfg.hidden_size
+    return fl, t
+
+
+def mha_flops(b, lq, lk, d, h):
+    """in/out projections (int8) + attention core (bf16), returned
+    separately so each part is priced at its own ceiling."""
+    proj = 2.0 * b * (lq + 2 * lk + lq) * d * d  # q,k,v,out
+    core = 4.0 * b * h * lq * lk * (d // h)
+    return proj, core
+
+
+def timeit(make_fn, *args):
+    @jax.jit
+    def fn(*a):
+        def body(c, _):
+            out = make_fn(c, *a)
+            return (jnp.mean(out.astype(jnp.float32)) * 1e-12).astype(jnp.bfloat16), None
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.bfloat16), None, length=ITERS)
+        return c
+
+    float(fn(*args))
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    return best
+
+
+def main():
+    from hriemo.frontends import BertConfig, BertEncoder, WavLMConfig, WavLMEncoder
+    from hriemo.frontends.wavlm import relative_position_buckets
+    from hriemo.models import FusionWithEmotionDecoder
+    from hriemo.nn.layers import layer_norm_apply
+    from hriemo.ops.attention_block import attention_block_int8
+    from hriemo.ops.fused_ffn import route_ffn_block
+    from hriemo.ops.quant import quantize_tree_for_serving
+
+    wcfg = dataclasses.replace(WavLMConfig.base_plus(), fast_gelu=True)
+    bcfg = dataclasses.replace(BertConfig.base_uncased(), fast_gelu=True)
+    wavlm, bert = WavLMEncoder(wcfg), BertEncoder(bcfg)
+    fusion = FusionWithEmotionDecoder(
+        d_model=768, num_emotions=4, n_heads=8,
+        num_layers_fusion=2, num_layers_decoder=2, beta_hidden=256, dropout=0.1)
+    cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), t)
+    P = {"w": quantize_tree_for_serving(cast(wavlm.params)),
+         "b": quantize_tree_for_serving(cast(bert.params)),
+         "f": quantize_tree_for_serving(cast(fusion.params))}
+    rng = np.random.default_rng(0)
+    D, H, F = wcfg.hidden_size, wcfg.num_attention_heads, wcfg.intermediate_size
+    NL = wcfg.num_hidden_layers
+    eps = wcfg.layer_norm_eps
+
+    budget = {}
+    for sec, b in BUCKETS.items():
+        t = int(sec * SR)
+        wavs = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+        wmask = jnp.ones((b, t), jnp.int32)
+        ids = jnp.asarray(rng.integers(0, 30000, size=(b, LT)).astype(np.int32))
+        tmask = jnp.ones((b, LT), jnp.int32)
+
+        conv_fl, la = conv_stack_flops(wcfg, b, t)
+        buckets_rel = relative_position_buckets(wcfg, la)
+        rel = P["w"]["encoder"]["layers"]["0"]["attention"]["rel_attn_embed"]["weight"]
+        pos = rel[buckets_rel].transpose(2, 0, 1).astype(jnp.float32)
+        h_a = jnp.asarray(rng.standard_normal((b, la, D)).astype(np.float32) * 0.3).astype(jnp.bfloat16)
+        h_t = jnp.asarray(rng.standard_normal((b, LT, D)).astype(np.float32) * 0.3).astype(jnp.bfloat16)
+
+        def attn_stack(c, p, x, pos):
+            for i in range(NL):
+                lp = p["encoder"]["layers"][str(i)]
+                x = attention_block_int8(lp["attention"], lp["layer_norm"],
+                                         x + (c if i == 0 else 0), pos, None, eps)
+            return x
+
+        def ffn_stack(c, p, x):
+            for i in range(NL):
+                lp = p["encoder"]["layers"][str(i)]
+                x = route_ffn_block(
+                    lp["feed_forward"]["intermediate_dense"],
+                    lp["feed_forward"]["output_dense"],
+                    lp["final_layer_norm"], x + (c if i == 0 else 0), eps, True)
+            return x
+
+        rows = {}
+        log(f"== bucket {sec} s (B={b}, La={la}) ==")
+
+        ms = timeit(lambda c, p, w: wavlm._feature_encoder(p, w + c),
+                    P["w"], wavs) * 1e3
+        ideal = conv_fl / BF16_TFS * 1e3
+        rows["conv stack (bf16 XLA)"] = (ms, ideal)
+
+        ms = timeit(attn_stack, P["w"], h_a, pos) * 1e3
+        proj, core = mha_flops(b, la, la, D, H)
+        gate = 2.0 * b * la * D * 8 * H
+        ideal = (NL * proj / INT8_TFS + NL * (core + gate) / BF16_TFS) * 1e3
+        rows[f"WavLM attn sublayers x{NL} (megakernel)"] = (ms, ideal)
+
+        ms = timeit(ffn_stack, P["w"], h_a) * 1e3
+        ideal = NL * 4.0 * b * la * D * F / INT8_TFS * 1e3
+        rows[f"WavLM FFN sublayers x{NL} (fused int8)"] = (ms, ideal)
+
+        ms = timeit(lambda c, p, i, m: bert.apply(
+            p, i + (c > jnp.asarray(9e9, c.dtype)).astype(i.dtype), m)[0],
+            P["b"], ids, tmask) * 1e3
+        bproj, bcore = mha_flops(b, LT, LT, D, H)
+        ideal = (bcfg.num_hidden_layers
+                 * ((bproj + 4.0 * b * LT * D * F) / INT8_TFS
+                    + bcore / BF16_TFS)) * 1e3
+        rows["BERT (int8 megakernel)"] = (ms, ideal)
+
+        mz_a = jnp.zeros((b, la), bool)
+        mz_t = jnp.zeros((b, LT), bool)
+        ms = timeit(lambda c, p, ha, ht: fusion.apply(
+            p, ha + c, ht + c, mz_a, mz_t)[0], P["f"], h_a, h_t) * 1e3
+        # fusion stack: 2 cross-modal layers (self a, self t, a2t, t2a +
+        # 2 FFN 768->3072->768) + beta mlp + 2 decoder layers (E=4 queries)
+        fl_i8, fl_bf = 0.0, 0.0
+        for _ in range(2):
+            for lq, lk in ((la, la), (LT, LT), (la, LT), (LT, la)):
+                pr, co = mha_flops(b, lq, lk, D, 8)
+                fl_i8 += pr
+                fl_bf += co
+            fl_i8 += 4.0 * b * (la + LT) * D * 4 * D  # ffn_a + ffn_t
+        fl_i8 += 2.0 * b * (4 * D * D * 256 / D)  # beta mlp (tiny)
+        for _ in range(2):  # decoder: E=4 queries
+            pr, co = mha_flops(b, 4, la, D, 8)   # cross-attn (self is tiny)
+            fl_i8 += pr
+            fl_bf += co
+            fl_i8 += 4.0 * b * 4 * D * 2048
+        ideal = (fl_i8 / INT8_TFS + fl_bf / BF16_TFS) * 1e3
+        rows["fusion stack (int8)"] = (ms, ideal)
+
+        def e2e(c, p, w, m, i, tm):
+            ha, fm = wavlm.apply(p["w"], w + c, m)
+            ht, _ = bert.apply(
+                p["b"], i + (c > jnp.asarray(9e9, c.dtype)).astype(i.dtype), tm)
+            return fusion.apply(p["f"], ha, ht.astype(ha.dtype),
+                                fm == 0, tm == 0)[0]
+
+        ms = timeit(e2e, P, wavs, wmask, ids, tmask) * 1e3
+        rows["FULL e2e (measured)"] = (ms, None)
+
+        for name, (m_, i_) in rows.items():
+            log(f"  {name:42s} {m_:8.2f} ms" +
+                (f"  ideal {i_:7.2f} ms  gap {m_ - i_:6.2f} ({(m_/i_ - 1)*100:5.1f}%)"
+                 if i_ else ""))
+        budget[str(sec)] = {
+            name: {"measured_ms": round(m_, 2),
+                   **({"ideal_ms": round(i_, 2),
+                       "gap_ms": round(m_ - i_, 2),
+                       "of_ceiling": round(i_ / m_, 3)} if i_ else {})}
+            for name, (m_, i_) in rows.items()
+        }
+        comp_sum = sum(m for m, i in rows.values() if i is not None)
+        ideal_sum = sum(i for m, i in rows.values() if i is not None)
+        e2e = rows["FULL e2e (measured)"][0]
+        budget[str(sec)]["_summary"] = {
+            "sum_components_ms": round(comp_sum, 2),
+            "sum_ideal_ms": round(ideal_sum, 2),
+            "e2e_ms": round(e2e, 2),
+            "blended_headroom_pct": round((e2e / ideal_sum - 1) * 100, 1),
+            "headroom_vs_components_pct": round((comp_sum / ideal_sum - 1) * 100, 1),
+        }
+        log(f"  {'SUM components':42s} {comp_sum:8.2f} ms  ideal {ideal_sum:7.2f} ms")
+
+    with open("perf_budget.json", "w") as f:
+        json.dump(budget, f, indent=2)
+    _write_perf_md(budget)
+    log("written: perf_budget.json, PERF.md")
+
+
+def _write_perf_md(budget):
+    lines = [
+        "# PERF — serving speed-of-light budget (round 3)",
+        "",
+        "Generated by `tools/perf_budget.py` on the real v5e chip.",
+        "Ceilings: int8 GEMMs at the **measured** toolchain ceiling",
+        "(130 TF/s — ops/fused_ffn.py, NOT the nominal 394 TOPS); bf16 at",
+        "197 TF/s MXU peak. `ideal` = analytic FLOPs / ceiling; the gap is",
+        "VPU work (softmax/LN/quantize), DMA, and kernel boundaries that a",
+        "GEMM-only ceiling does not model.",
+        "",
+    ]
+    for sec, rows in budget.items():
+        s = rows["_summary"]
+        lines += [f"## {sec} s bucket",
+                  "",
+                  "| component | measured ms | ideal ms | of-ceiling |",
+                  "|---|---|---|---|"]
+        for name, r in rows.items():
+            if name.startswith("_"):
+                continue
+            if "ideal_ms" in r:
+                lines.append(f"| {name} | {r['measured_ms']} | {r['ideal_ms']} "
+                             f"| {r['of_ceiling']:.0%} |")
+            else:
+                lines.append(f"| {name} | {r['measured_ms']} | — | — |")
+        lines += [
+            f"| **Σ components** | {s['sum_components_ms']} | {s['sum_ideal_ms']} | |",
+            "",
+            f"e2e measured {s['e2e_ms']} ms → **blended headroom vs GEMM ideal: "
+            f"{s['blended_headroom_pct']}%** (components only: "
+            f"{s['headroom_vs_components_pct']}%).",
+            "",
+        ]
+    lines += [
+        "Interpretation: the GEMM-ideal is a *hard floor* that prices only",
+        "MXU FLOPs — softmax/LN/quantize VPU passes, the gated position",
+        "bias, DMA, and per-kernel boundaries are real work the floor",
+        "ignores, so 100% of-ceiling is not attainable. The per-kernel",
+        "numerics A/B lives in `tools/kernel_numerics.py`.",
+        "",
+    ]
+    with open("PERF.md", "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -195,6 +195,88 @@ def validate_bert(sd, config_overrides: dict, atol: float, hf_compare: bool):
     return report
 
 
+def int8_report(wavlm_sd, bert_sd, fusion_ckpt: str | None,
+                envelope: float, wavlm_overrides: dict, bert_overrides: dict,
+                num_emotions: int = 4, multi_label: bool = True) -> dict:
+    """int8 W8A8 numerics on REAL weights (VERDICT r2 next #4).
+
+    Quantizes the bridged state dicts with the product recipe
+    (ops.quant.quantize_tree_for_serving), runs the full serving stack
+    (WavLM + BERT + fusion) to probabilities/β EAGERLY, and reports
+
+      * per-layer activation-amax distributions (p50/p99/max +
+        outlier_ratio — the classic W8A8 failure indicator: a few
+        high-magnitude channels inflating per-row scales),
+      * max prob/β deltas vs the full-precision reference,
+      * the mitigation trace: when the prob delta exceeds ``envelope``,
+        layers are greedily reverted to bf16 (worst outlier_ratio first)
+        until the delta is back inside the envelope — the reverted list
+        IS the serving config change to ship
+        (``quantize_tree_for_serving(exclude=...)``).
+
+    The fusion stack comes from ``--fusion-ckpt`` (reference-layout
+    best_*.pt) when given, else random-init at product dims (deltas then
+    cover the frontends' real weights only — noted in the report).
+    CI: tests/test_quant.py::test_int8_report_outlier_mitigation injects
+    synthetic outlier weights and asserts the mitigation engages.
+    """
+    import jax.numpy as jnp
+
+    from hriemo.frontends import BertConfig, BertEncoder, WavLMConfig, WavLMEncoder
+    from hriemo.models import FusionWithEmotionDecoder
+    from hriemo.ops.quant import int8_numerics_report
+    from hriemo.utils import checkpoint as C
+
+    wcfg = (dataclasses.replace(WavLMConfig.base_plus(), **wavlm_overrides)
+            if wavlm_overrides else WavLMConfig.base_plus())
+    bcfg = (dataclasses.replace(BertConfig.base_uncased(), **bert_overrides)
+            if bert_overrides else BertConfig.base_uncased())
+    wavlm = WavLMEncoder(wcfg).from_torch_state_dict(wavlm_sd)
+    bert = BertEncoder(bcfg).from_torch_state_dict(bert_sd)
+
+    fusion_note = "fusion: random-init at product dims (no --fusion-ckpt)"
+    fusion = FusionWithEmotionDecoder(
+        d_model=wcfg.hidden_size, num_emotions=num_emotions, n_heads=8,
+        num_layers_fusion=2, num_layers_decoder=2,
+        beta_hidden=max(16, wcfg.hidden_size // 3), dropout=0.1)
+    if fusion_ckpt:
+        ckpt = C.load_torch_checkpoint(fusion_ckpt)
+        ck = ckpt.get("args", {})
+        fusion = FusionWithEmotionDecoder(
+            d_model=ck.get("d_model", wcfg.hidden_size),
+            num_emotions=len(ckpt.get("emo_cols", [])) or num_emotions,
+            n_heads=ck.get("n_heads", 8),
+            num_layers_fusion=ck.get("num_layers_fusion", 2),
+            num_layers_decoder=ck.get("num_layers_decoder", 2),
+            beta_hidden=ck.get("beta_hidden", 256),
+            dropout=ck.get("dropout", 0.1))
+        fusion.params = C.params_from_state_dict(
+            ckpt["model_state_dict"], like=fusion.params)
+        fusion_note = f"fusion: {fusion_ckpt}"
+
+    wav, wmask = _probe_inputs("wavlm")
+    ids, tmask = _probe_inputs("bert")
+    ids = ids % bcfg.vocab_size
+    params = {"w": wavlm.params, "b": bert.params, "f": fusion.params}
+
+    def apply_fn(p, wav, wmask, ids, tmask):
+        h_a, fmask = wavlm.apply(p["w"], wav, wmask)
+        h_t, _ = bert.apply(p["b"], ids, tmask)
+        logits, beta, _ = fusion.apply(
+            p["f"], h_a, h_t.astype(h_a.dtype), fmask == 0, tmask == 0)
+        import jax
+
+        probs = (jax.nn.sigmoid(logits) if multi_label
+                 else jax.nn.softmax(logits, -1))
+        return {"probs": probs, "beta": beta}
+
+    args = (jnp.asarray(wav), jnp.asarray(wmask),
+            jnp.asarray(ids), jnp.asarray(tmask))
+    report = int8_numerics_report(apply_fn, params, args, envelope=envelope)
+    report["fusion_source"] = fusion_note
+    return report
+
+
 def _check_against_golden(golden_path: str, results: dict, atol: float):
     with open(golden_path) as f:
         golden = json.load(f)
@@ -229,9 +311,23 @@ def main(argv=None):
                     help="compare fingerprints against an existing golden file")
     ap.add_argument("--no-hf-compare", action="store_true",
                     help="skip the torch cross-check (fingerprints/golden only)")
+    ap.add_argument("--int8-report", default=None, metavar="OUT_JSON",
+                    help="run the int8 W8A8 numerics report on the real "
+                         "weights (per-layer activation amax, prob/β deltas "
+                         "vs full precision, selective-bf16 outlier "
+                         "mitigation) and write it here; needs --wavlm AND "
+                         "--bert")
+    ap.add_argument("--int8-envelope", type=float, default=0.005,
+                    help="max allowed |Δprob| for the int8 serving path "
+                         "(bench.py gates the random-weight config at 0.006)")
+    ap.add_argument("--fusion-ckpt", default=None,
+                    help="reference-layout best_*.pt for the fusion stack "
+                         "in the int8 report (else random-init)")
     args = ap.parse_args(argv)
     if not args.wavlm and not args.bert:
         ap.error("provide --wavlm and/or --bert")
+    if args.int8_report and not (args.wavlm and args.bert):
+        ap.error("--int8-report needs both --wavlm and --bert")
 
     # fp32 parity needs full-precision matmuls (TPU defaults to bf16 inputs)
     import jax
@@ -255,6 +351,27 @@ def main(argv=None):
         print(f"bert: bridge OK"
               + (f", max|Δ| vs HF = {results['bert']['hf_max_delta_valid']:.2e}"
                  if "hf_max_delta_valid" in results["bert"] else ""))
+
+    if args.int8_report:
+        rep = int8_report(
+            _load_state_dict(args.wavlm), _load_state_dict(args.bert),
+            args.fusion_ckpt, args.int8_envelope,
+            json.loads(args.wavlm_config) if args.wavlm_config else {},
+            json.loads(args.bert_config) if args.bert_config else {})
+        with open(args.int8_report, "w") as f:
+            json.dump(rep, f, indent=2)
+        d0 = rep["deltas_full_int8"]["probs"]
+        d1 = rep["deltas_final"]["probs"]
+        print(f"int8 report: full-int8 |Δprob|={d0:.5f}; "
+              f"{len(rep['reverted_layers'])} layer(s) reverted to bf16 -> "
+              f"|Δprob|={d1:.5f} "
+              f"({'WITHIN' if rep['within_envelope'] else 'EXCEEDS'} "
+              f"envelope {args.int8_envelope}); written to {args.int8_report}")
+        if not rep["within_envelope"]:
+            raise AssertionError(
+                "int8 numerics exceed the envelope even after mitigation — "
+                "do not ship int8 serving with these weights; see the "
+                "report's activation_amax for the offending layers")
 
     if args.check_golden:
         _check_against_golden(args.check_golden, results, args.atol)
