@@ -55,13 +55,13 @@ SR = 16_000
 # the same tiles — so the serving config uses three buckets.
 # Round-2 grid search on the int8 path: a 3.75 s bucket costs the same
 # per batch as 5 s (62.6 vs 63.3 ms — both pad to the same 256-frame
-# tile). Batch size was re-searched AFTER the megakernels landed (their
-# grid-over-batch amortises differently): B=128 now wins per-utt at the
-# 2.5 s (0.475 vs 0.508 ms) and 10 s (1.395 vs 1.443) buckets, B=64
-# stays best at 5 s (B=96: 0.766, B=128: 0.795, B=192: 0.784 ms/utt),
-# and B=256 regresses everywhere.
+# tile). Batches are re-searched after every kernel-schedule change
+# (.scratch/batch_sweep_r3.py). Round-3 (full-width qkv schedules):
+# 2.5 s now prefers B=256 (0.388 vs 0.397@128 vs 0.400@384 ms/utt);
+# 5 s stays B=64 (B=96/128 hit a reproducible XLA compile failure at the
+# new schedules); 10 s stays B=128 (1.207 vs 1.240@96, 1.247@192).
 BUCKETS_S = (2.5, 5.0, 10.0)
-BUCKET_B = {2.5: 128, 5.0: 64, 10.0: 128}
+BUCKET_B = {2.5: 256, 5.0: 64, 10.0: 128}
 B = 64  # FLOP-accounting / latency reference batch
 LT = 128
 ITERS = 10

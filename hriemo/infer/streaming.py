@@ -23,9 +23,9 @@ import jax
 import jax.numpy as jnp
 
 # Measured-optimal serving batch per length bucket (v5e, int8 path,
-# re-searched after the Pallas megakernels landed — bench.py BUCKET_B):
-# B=128 wins per-utt at 2.5 s and 10 s, B=64 at 5 s; B=256 regresses.
-MEASURED_BUCKET_BATCH = {2.5: 128, 5.0: 64, 10.0: 128}
+# re-searched after every kernel-schedule change — bench.py BUCKET_B;
+# round 3: 2.5 s moved to B=256 with the full-width qkv schedules).
+MEASURED_BUCKET_BATCH = {2.5: 256, 5.0: 64, 10.0: 128}
 
 
 class StreamingPipeline:

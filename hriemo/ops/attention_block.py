@@ -5,12 +5,19 @@ per batch element":
 
   * :func:`attention_block_int8` — the WavLM variant (gated relative
     position bias + residual + LayerNorm), described below. Measured
-    1.65x on WavLM (10 s bucket 113.5 -> 68.9 ms).
+    1.65x on WavLM (10 s bucket 113.5 -> 68.9 ms, round 2); the round-3
+    schedule sweep (``_schedule_for``: stacked batch elems + full-width
+    qkv GEMMs) took WavLM a further -6.1% (10 s) / -7.9% (5 s).
   * :func:`mha_block_int8` — the generic standard-softmax variant
     (packed torch-MHA projections, self or cross attention, hd 64/96),
     routed from nn/attention.mha_apply (fusion stack: 19.0 -> 13.7 ms)
     and frontends/bert.py. Returns pre-residual output; the caller's
-    residual+LN are one fused XLA elementwise pass.
+    residual+LN are one fused XLA elementwise pass. Round-3 schedule
+    (``_mha_schedule_for``): BERT 19.68 -> 14.96 ms/B128 (-24%), fusion
+    -3..-11% per bucket.
+
+Per-component time-vs-ceiling budget: PERF.md (tools/perf_budget.py);
+per-kernel on-TPU numerics A/B: tools/kernel_numerics.py.
 
 One kernel pass per batch element computes the ENTIRE post-norm attention
 sublayer of a WavLM encoder layer:
@@ -180,12 +187,31 @@ def _wrow(p):
 
 
 def _schedule_for(l: int, d: int, n_heads: int) -> tuple[int, int]:
-    """Measured-optimal (bpg, hpc) per product shape.
+    """Measured-optimal (bpg, hpc) per product shape (round-3 TPU sweep,
+    whole-wavlm.apply A/B at the product batches; .scratch/sched_sweep*).
 
-    Placeholder = the round-2 schedule (1 elem / 128-lane chunks) until
-    the round-3 sweep lands; overridden by the sweep results below.
+      Lp<=128 (2.5 s): (1, 2)  32.45 ms/B128 — round-2 schedule already
+                       optimal; wider chunks/bpg all regress (+1-4%).
+      Lp==256 (5 s):   (1, 12) 32.87 ms/B64 vs 35.30 round-2 (-6.9%).
+                       (2, 12) measured marginally faster (32.51) but
+                       sits ON the 16 MB scoped-VMEM cliff: it compiled
+                       in the timed scan yet OOM'd (17.48M) inside
+                       bench's un-scanned numerics probe — whether the
+                       last ~1.5 MB fits depends on the surrounding
+                       program, so the single-elem schedule ships.
+      Lp>=384 (10 s):  (1, 12) 119.95 ms/B128 vs 127.72 (-6.1%): full-
+                       width [Lp,768]x[768,768] projections pipeline
+                       deepest; bpg=2 at Lp=512 exceeds VMEM (compile
+                       failure) — pos bias alone is 6.3 MB resident.
+
+    Non-product shapes fall back to the conservative round-2 schedule.
     """
     hd = d // n_heads
+    if d == 768 and n_heads == 12:
+        lp = l + (-l) % 128
+        if lp <= 128:
+            return 1, 2
+        return 1, 12
     return 1, max(1, 128 // hd)
 
 
@@ -337,16 +363,42 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
 
 
 def _mha_schedule_for(lq: int, lk: int, d: int, n_heads: int) -> tuple[int, int]:
-    """Measured-optimal (bpg, hpc) for the generic MHA kernel.
+    """Measured-optimal (bpg, hpc) for the generic MHA kernel (round-3
+    TPU sweep, whole-component A/B; .scratch/mha_sched_sweep.py).
 
-    Base hpc = smallest chunk with 128-lane alignment (lcm(hd,128)/hd);
-    overridden per shape by the round-3 sweep results (module docstring).
+      BERT-shape (d=768, 12 heads, L=128): (2, 12) — 19.68 -> 14.96
+      ms/B128 (-24%), 11.16 -> 9.11 ms/B64: stacked elems + full-width
+      qkv GEMMs; the round-2 one-elem/128-lane schedule left a third of
+      the throughput on the table at BERT's short rows.
+      Fusion-shape (d=768, 8 heads, hd=96): hpc=8 full-width always;
+      bpg=4 when everything fits in 128 rows (La=124 bucket, -11%),
+      2 at 256 rows (-6%), 1 at 512 rows: (2,8) at Lq=Lk=512 measured
+      25.69 vs 25.91 ms for (1,8) in isolation but EXCEEDS the 16 MB
+      scoped-VMEM limit inside the full e2e graph (18.18M compile
+      failure) — the isolated sweep sat just under the cliff, so 512
+      rows ship the single-elem schedule.
+
+    Non-measured shapes fall back to the conservative round-2 schedule
+    (1 elem, minimal 128-lane-aligned chunk).
     """
     hd = d // n_heads
     cw = hd
     while cw % 128:
         cw += hd
-    return 1, cw // hd
+    base_hpc = cw // hd
+    if d == 768:
+        mx = max(lq + (-lq) % 128, lk + (-lk) % 128)
+        if hd == 96 and n_heads == 8:
+            if mx <= 128:
+                return 4, 8
+            if mx <= 256:
+                return 2, 8
+            if mx <= 512:
+                return 1, 8
+            return 1, base_hpc
+        if hd == 64 and n_heads == 12 and mx <= 128:
+            return 2, 12
+    return 1, base_hpc
 
 
 def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,

@@ -84,8 +84,10 @@ def check_wavlm_attention_block(rng, results):
         @jax.jit
         def ref_fn(x):
             # WavLMEncoder._attention IS the per-op XLA route (the layer
-            # loop routes to the megernel separately), so no patching
-            attn = wavlm._attention(lp["attention"], x, kpb, pos)
+            # loop routes to the megakernel separately), so no patching;
+            # it takes the padding bias in [B,1,1,L] broadcast form
+            attn = wavlm._attention(lp["attention"], x,
+                                    kpb[:, None, None, :], pos)
             from hriemo.nn.layers import layer_norm_apply
             return layer_norm_apply(lp["layer_norm"], x + attn,
                                     cfg.layer_norm_eps)
@@ -236,7 +238,7 @@ def check_groupnorm_stats(rng, results):
 
     @jax.jit
     def rfn(wave):
-        from hriemo.ops.conv_stack import conv1d
+        from hriemo.frontends.wavlm import conv1d
         y = conv1d(wave[:, None, :], w, None, stride=5)  # [B, C, T']
         return jnp.mean(y, -1), jnp.var(y, -1)
 
@@ -255,16 +257,16 @@ def main(argv=None):
         f"({'REAL kernel compile' if jax.default_backend() == 'tpu' else 'interpret mode'})")
     rng = np.random.default_rng(0)
     results = []
+    done = 0
     for fn in (check_wavlm_attention_block, check_mha_block, check_ffn_block,
                check_mlp2, check_flash_mha, check_groupnorm_stats):
         fn(rng, results)
+        for name, tag, d in results[done:]:  # print incrementally
+            log(f"{name:24s} {tag:20s} max|Δ| = {d:.3e}  "
+                f"[{'ok' if d <= THRESH[name] else 'FAIL > ' + str(THRESH[name])}]")
+        done = len(results)
 
-    fails = 0
-    for name, tag, d in results:
-        ok = d <= THRESH[name]
-        fails += not ok
-        log(f"{name:24s} {tag:20s} max|Δ| = {d:.3e}  "
-            f"[{'ok' if ok else 'FAIL > ' + str(THRESH[name])}]")
+    fails = sum(d > THRESH[name] for name, _, d in results)
     if args.json:
         with open(args.json, "w") as f:
             json.dump([{"kernel": n, "shape": t, "max_delta": d,
