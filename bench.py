@@ -115,7 +115,22 @@ def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
     pipe = StreamingPipeline(
         wavlm, bert, fusion, tokenizer=_HashTokenizer(30522),
         max_seconds=10.0, max_tokens=LT, multi_label=False,
-        bucket_seconds=(2.5, 5.0), int8_frontends=True)
+        bucket_seconds=(2.5, 5.0), int8_frontends=True,
+        wav_transport="pcm16")
+
+    # instrument host work + shipped bytes (prep runs inside the stream
+    # loop, overlapped with device compute by the one-deep pending queue)
+    prep = {"s": 0.0, "bytes": 0}
+    orig_prep = pipe.preprocess
+
+    def timed_prep(*a, **k):
+        t = time.perf_counter()
+        out = orig_prep(*a, **k)
+        prep["s"] += time.perf_counter() - t
+        prep["bytes"] += sum(x.nbytes for x in out)
+        return out
+
+    pipe.preprocess = timed_prep
 
     durations = _duration_mix(n=n_clips, seed=7)
     words = np.array("happy sad angry neutral really very today fine so not"
@@ -135,12 +150,26 @@ def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
             pass
 
     n_done = 0
+    prep["s"], prep["bytes"] = 0.0, 0  # exclude warmup
     t0 = time.perf_counter()
     for probs, _beta, uids in pipe.stream_bucketed(
             iter(clips), bucket_batch=MEASURED_BUCKET_BATCH, pad_flush=True):
         n_done += len(uids)
     wall = time.perf_counter() - t0
     assert n_done == n_clips, (n_done, n_clips)
+
+    # measure the host->device link directly (one flush-sized buffer) so
+    # the stall can be attributed: this dev environment reaches the TPU
+    # over a network tunnel at ~30-50 MB/s vs ~10+ GB/s host PCIe.
+    buf = np.zeros((MEASURED_BUCKET_BATCH[2.5], int(2.5 * SR)), np.int16)
+    reduce = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    float(reduce(jnp.asarray(buf)))  # warm the reduction's compile
+    link = []
+    for _ in range(3):
+        t = time.perf_counter()
+        float(reduce(jnp.asarray(buf)))  # scalar fetch forces the H2D
+        link.append(time.perf_counter() - t)
+    link_mbps = buf.nbytes / 1e6 / min(link)
 
     # pure-device budget for the same flush schedule (full + padded-final)
     bucket_of = np.searchsorted(np.asarray(BUCKETS_S), durations)
@@ -149,15 +178,29 @@ def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
         n = int((bucket_of == i).sum())
         flushes = -(-n // MEASURED_BUCKET_BATCH[sec])
         device_s += flushes * bucket_stats[sec][0]
+    h2d_mb = prep["bytes"] / 1e6
+    # With host prep overlapped (one-deep pending queue), sustained wall =
+    # max(device, host prep, H2D). On a PCIe-attached host (>= 8 GB/s) the
+    # H2D term is ~h2d_mb/8000 s; project the scheduler's throughput there.
+    pcie_wall = max(device_s, prep["s"]) + h2d_mb / 8000.0
     return {
         "utt_per_sec_sustained": round(n_done / wall, 1),
         "host_stall_pct": round(max(0.0, wall - device_s) / wall * 100, 1),
         "device_budget_ms": round(device_s * 1000, 1),
+        "host_prep_ms": round(prep["s"] * 1000, 1),
+        "h2d_mb": round(h2d_mb, 1),
+        "link_mb_per_s_measured": round(link_mbps, 1),
         "wall_ms": round(wall * 1000, 1),
         "n_clips": n_clips,
-        "note": ("stream_bucketed as served: host wav-prep + tokenisation "
-                 "overlapped with device compute (one-deep pending queue), "
-                 "pad_flush static shapes; compile excluded"),
+        "utt_per_sec_projected_pcie": round(n_done / pcie_wall, 1),
+        "note": ("stream_bucketed as served: int16 PCM + lengths transport "
+                 "(4x fewer H2D bytes than f32+mask), host wav-prep + "
+                 "tokenisation overlapped with device compute (one-deep "
+                 "pending queue), pad_flush static shapes; compile excluded. "
+                 "The residual stall is the dev environment's network tunnel "
+                 "to the TPU (link_mb_per_s_measured vs >=8 GB/s host PCIe); "
+                 "utt_per_sec_projected_pcie = n/(max(device, host_prep) + "
+                 "h2d at 8 GB/s) — device-bound on real serving hosts."),
     }
 
 

@@ -89,6 +89,36 @@ def test_int8_pipeline_close_to_fp32(pipe):
     np.testing.assert_allclose(probsq, probs32, atol=atol)
 
 
+def test_pcm16_transport_close_to_f32(pipe):
+    """The int16-PCM wav transport (4x fewer H2D bytes, the serving
+    default in bench.py) matches the f32 transport: bit-exact for
+    int16-sourced clips, <=2^-15 waveform error for synthetic floats."""
+    p16 = StreamingPipeline(pipe.wavlm, pipe.bert, pipe.fusion,
+                            tokenizer=pipe.tokenizer, max_seconds=0.1,
+                            max_tokens=8, compute_dtype=jnp.float32,
+                            wav_transport="pcm16")
+    rng = np.random.default_rng(11)
+    wavs = [(rng.standard_normal(1100) * 0.1).astype(np.float32),
+            (rng.standard_normal(600) * 0.1).astype(np.float32)]
+    texts = ["hello there", "sad words today"]
+    probs32, beta32 = pipe.infer(wavs, texts)
+    probs16, beta16 = p16.infer(wavs, texts)
+    np.testing.assert_allclose(probs16, probs32, atol=2e-3)
+    np.testing.assert_allclose(beta16, beta32, atol=2e-3)
+
+    # int16-sourced clips (real PCM files) round-trip bit-exactly:
+    # int16 -> /32768 on device == the f32 pipeline fed the same floats
+    w16 = [(w * 32768.0).astype(np.int16) for w in wavs]
+    wf = [w.astype(np.float32) / 32768.0 for w in w16]
+    p_a, _ = p16.infer(w16, texts)
+    p_b, _ = pipe.infer(wf, texts)
+    np.testing.assert_allclose(p_a, p_b, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        StreamingPipeline(pipe.wavlm, pipe.bert, pipe.fusion,
+                          tokenizer=pipe.tokenizer, wav_transport="mp3")
+
+
 def test_e2e_infer_cli(tmp_path):
     """Raw fake IEMOCAP corpus -> index -> e2e CLI -> probability artifacts."""
     import sys
