@@ -58,8 +58,9 @@ SR = 16_000
 # tile). Batches are re-searched after every kernel-schedule change
 # (.scratch/batch_sweep_r3.py). Round-3 (full-width qkv schedules):
 # 2.5 s now prefers B=256 (0.388 vs 0.397@128 vs 0.400@384 ms/utt);
-# 5 s stays B=64 (B=96/128 hit a reproducible XLA compile failure at the
-# new schedules); 10 s stays B=128 (1.207 vs 1.240@96, 1.247@192).
+# 5 s stays B=64 — B=128 compiles and ties (0.680 vs 0.684 ms/utt; the
+# round-3 sweep's "compile failure" was a tunnel transient) so 64 wins
+# on batch-fill latency; 10 s stays B=128 (1.207 vs 1.240@96, 1.247@192).
 BUCKETS_S = (2.5, 5.0, 10.0)
 BUCKET_B = {2.5: 256, 5.0: 64, 10.0: 128}
 B = 64  # FLOP-accounting / latency reference batch

@@ -153,6 +153,13 @@ def _kernel(x_ref, kbias_ref, pos_ref,
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
                 l = jnp.sum(p, axis=-1, keepdims=True)
+                # NOTE round-3 A/B: deferring this normalization past the
+                # PV GEMM (divide the [Lp, hd] output instead of the
+                # [Lp, Lp] scores) measured LOSING whole-model — 2.5 s
+                # 99.2 -> 101.4 ms/B256, 10 s 153.9 -> 155.7 ms/B128
+                # (the 10 s number needed a bf16-domain exp: the fp32
+                # deferred variant OOMs scoped VMEM 17.1M/16M at Lp=512).
+                # Mosaic's in-place p/l is effectively free; do not retry.
                 outs[e].append(jax.lax.dot_general(
                     (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16))
@@ -351,6 +358,8 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
                 l = jnp.sum(p, axis=-1, keepdims=True)
+                # deferred normalization measured LOSING here too (see the
+                # WavLM kernel's softmax note) — keep the in-place p/l
                 outs[e].append(jax.lax.dot_general(
                     (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16))
