@@ -35,7 +35,7 @@ def parse_args(argv=None):
                          "uses 16. Pass explicitly to cap both.")
     ap.add_argument("--max_seconds", type=float, default=10.0)
     ap.add_argument("--bucket_seconds", type=float, nargs="+",
-                    default=[2.5, 5.0, 10.0])  # 7.5 measured slower per-utt than 10 (see bench.py)
+                    default=[2.5, 5.0, 7.5, 10.0])  # every 128-frame tile (see bench.py)
     ap.add_argument("--max_tokens", type=int, default=128)
     # weights
     ap.add_argument("--wavlm_state_dict", type=str, default=None)
@@ -85,6 +85,9 @@ def main(argv=None):
 
     wcfg = WavLMConfig.tiny() if args.tiny else WavLMConfig.base_plus()
     bcfg = BertConfig.tiny() if args.tiny else BertConfig.base_uncased()
+    # --tiny's BERT has fewer position embeddings than the full default
+    # --max_tokens; clamp so the tiny path runs at default CLI settings
+    args.max_tokens = min(args.max_tokens, bcfg.max_position_embeddings)
     if args.fast_gelu:
         wcfg = dataclasses.replace(wcfg, fast_gelu=True)
         bcfg = dataclasses.replace(bcfg, fast_gelu=True)

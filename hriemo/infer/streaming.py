@@ -24,8 +24,10 @@ import jax.numpy as jnp
 
 # Measured-optimal serving batch per length bucket (v5e, int8 path,
 # re-searched after every kernel-schedule change — bench.py BUCKET_B;
-# round 3: 2.5 s moved to B=256 with the full-width qkv schedules).
-MEASURED_BUCKET_BATCH = {2.5: 256, 5.0: 64, 10.0: 128}
+# round 3: 2.5 s moved to B=256 with the full-width qkv schedules, and
+# the 7.5 s bucket JOINED the config — the round-2 "same tiles" result
+# is obsolete under those schedules (0.948 vs 1.207 ms/utt at 10 s).
+MEASURED_BUCKET_BATCH = {2.5: 256, 5.0: 64, 7.5: 128, 10.0: 128}
 
 
 class StreamingPipeline:

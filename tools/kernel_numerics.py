@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 # product serving shapes: {bucket seconds: WavLM frame count}
-BUCKET_L = {2.5: 124, 5.0: 249, 10.0: 499}
+BUCKET_L = {2.5: 124, 5.0: 249, 7.5: 374, 10.0: 499}
 B = 8  # batch for numerics (product batches only repeat the grid)
 THRESH = {  # pass thresholds, mirroring the interpret-mode tests
     "wavlm_attention_block": 0.05,   # bf16 ctx concat vs fp32 chain

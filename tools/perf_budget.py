@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 SR, LT = 16_000, 128
-BUCKETS = {2.5: 128, 5.0: 64, 10.0: 128}  # bucket s -> product batch
+BUCKETS = {2.5: 128, 5.0: 64, 7.5: 128, 10.0: 128}  # bucket s -> product batch
 ITERS, REPEATS = 10, 4
 # int8 GEMM pricing: the BEST rate demonstrated IN THIS TREE — the fused
 # FFN kernel's ~190 TF/s effective (this tool's own round-3 run: ideal at
