@@ -27,6 +27,11 @@ Method:
     steady-state ms/batch is measured with a jitted lax.scan closed by a
     scalar fetch (the remote TPU tunnel defers execution until a host
     fetch, so naive timing lies);
+  * text is padded to the serving text bucket (32 tokens; 64 at the
+    10 s audio bucket), not the reference's fixed max_length=128 — an
+    output-EXACT optimisation (``TEXT_BUCKETS``/``BUCKET_LT``; realism
+    provenance in ``text_mix``, exactness contract in
+    hriemo/infer/streaming.py and tests/test_streaming.py);
   * timing is **best-of-5** (the tunnel has ~40 s transients; CLAUDE.md)
     and the relative spread (max−min)/best across repeats is reported;
   * per-bucket **MFU** = XLA's compiled-HLO FLOP count ÷ measured time ÷
@@ -50,24 +55,45 @@ import jax.numpy as jnp
 
 NORTH_STAR = 5000.0
 SR = 16_000
-# measured on v5e: a 7.5 s bucket costs MORE per utterance than the 10 s
-# bucket (2.97 vs 2.77 ms/utt at B=64) — conv/attention padding lands on
-# the same tiles — so the serving config uses three buckets.
 # Round-2 grid search on the int8 path: a 3.75 s bucket costs the same
 # per batch as 5 s (62.6 vs 63.3 ms — both pad to the same 256-frame
 # tile). Batches are re-searched after every kernel-schedule change
 # (.scratch/batch_sweep_r3.py). Round-3 (full-width qkv schedules):
-# 2.5 s now prefers B=256 (0.388 vs 0.397@128 vs 0.400@384 ms/utt);
-# 5 s stays B=64 — B=128 compiles and ties (0.680 vs 0.684 ms/utt; the
-# round-3 sweep's "compile failure" was a tunnel transient) so 64 wins
-# on batch-fill latency; 10 s stays B=128 (1.207 vs 1.240@96, 1.247@192).
+# 2.5 s prefers B=256 (0.388 vs 0.397@128 vs 0.400@384 ms/utt);
+# 5 s ALSO prefers B=256 (0.645 vs 0.652@192, 0.659@384, 0.680@128,
+# 0.684@64 ms/utt — the round-3 sweep stopped at 128 and its "compile
+# failure" at 96/128 was a tunnel transient); 10 s stays B=128 (1.207
+# vs 1.240@96, 1.247@192).
 # Round-3 re-test of the 7.5 s bucket (Lp=384 tile — the one 128-frame
 # tile the config skipped): the round-2 "costs MORE per-utt than 10 s"
 # result is obsolete under the full-width (1,12) schedules — 0.948
-# ms/utt at B=128 (0.956@96) vs 1.207 at the 10 s bucket, a 21% saving
-# for the ~19% of clips in (5, 7.5] (.scratch/bucket75_r3.py).
+# ms/utt at B=128 (0.956@96, 0.945@256: a tie, so 128 wins batch-fill
+# latency) vs 1.207 at the 10 s bucket, a 21% saving for the ~19% of
+# clips in (5, 7.5] (.scratch/bucket75_r3.py, bucket_batch_r3b.py).
 BUCKETS_S = (2.5, 5.0, 7.5, 10.0)
-BUCKET_B = {2.5: 256, 5.0: 64, 7.5: 128, 10.0: 128}
+BUCKET_B = {2.5: 256, 5.0: 256, 7.5: 128, 10.0: 128}
+# Text-length buckets (hriemo.infer.streaming text_bucket_tokens):
+# output-EXACT unlike audio buckets (see streaming.py __init__ — BERT is
+# mask-exact and the fused mask ORs the text mask, so rows past the true
+# text length are never read). Realistic serving text length per audio
+# bucket: conversational English ~150 wpm (2.5 words/s) x ~1.3 BERT
+# wordpieces/word + [CLS]/[SEP] => tokens(d) = 2 + ceil(3.25*d), so the
+# 2.5/5/7.5 s buckets ride the 32-token bucket and 10 s rides 64 (the
+# reference instead pads every text to max_length=128,
+# extract_text_feats_bert.py:37-38).
+TEXT_BUCKETS = (32, 64)
+TOKENS_PER_SEC = 3.25  # 150 wpm x ~1.3 wordpieces/word
+BUCKET_LT = {
+    sec: next(tb for tb in (*TEXT_BUCKETS, 128)
+              if 2 + int(np.ceil(TOKENS_PER_SEC * sec)) <= tb)
+    for sec in BUCKETS_S
+}
+TEXT_MIX_NOTE = (
+    "text length tied to audio duration at ~150 wpm conversational "
+    "English x ~1.3 BERT wordpieces/word (+2 specials); flushes ride the "
+    "output-exact text buckets (32, 64) instead of the reference's fixed "
+    "max_length=128 padding"
+)
 B = 64  # FLOP-accounting / latency reference batch
 LT = 128
 ITERS = 10
@@ -122,7 +148,7 @@ def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
         wavlm, bert, fusion, tokenizer=_HashTokenizer(30522),
         max_seconds=10.0, max_tokens=LT, multi_label=False,
         bucket_seconds=(2.5, 5.0, 7.5), int8_frontends=True,
-        wav_transport="pcm16")
+        wav_transport="pcm16", text_bucket_tokens=TEXT_BUCKETS)
 
     # instrument host work + shipped bytes (prep runs inside the stream
     # loop, overlapped with device compute by the one-deep pending queue);
@@ -149,18 +175,23 @@ def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
     # clips arrive as int16 PCM — what real decoded .wav data is (the
     # reference's soundfile loads 16-bit linear PCM) and what a serving
     # host receives off the wire; the pcm16 transport forwards it
-    # bit-exactly and the host pad loop is a pure memcpy
+    # bit-exactly and the host pad loop is a pure memcpy. Word counts
+    # scale with duration (TEXT_MIX_NOTE) so each flush rides the same
+    # text bucket the device budget was measured at (BUCKET_LT).
+    n_words = lambda d: max(3, int(round(TOKENS_PER_SEC * d)))
     clips = [
         ((rs.standard_normal(int(d * SR)) * 0.1 * 32768)
          .clip(-32768, 32767).astype(np.int16),
-         " ".join(rs.choice(words, size=12)), i)
+         " ".join(rs.choice(words, size=n_words(d))), i)
         for i, d in enumerate(durations)
     ]
 
-    # warm each bucket's compiled shape (one full batch per bucket)
+    # warm each bucket's compiled shape (one full batch per bucket, at
+    # the bucket's expected text bucket)
     for sec in BUCKETS_S:
         b = MEASURED_BUCKET_BATCH[sec]
-        warm = [(np.zeros(int(sec * SR) - 1, np.float32), "warm", -1)] * b
+        warm = [(np.zeros(int(sec * SR) - 1, np.float32),
+                 " ".join(["warm"] * n_words(sec)), -1)] * b
         for _ in pipe.stream_bucketed(iter(warm), bucket_batch=MEASURED_BUCKET_BATCH):
             pass
 
@@ -402,10 +433,11 @@ def main():
         more iters per timed call.
         """
         t = int(seconds * SR)
+        lt = BUCKET_LT.get(seconds, LT)  # serving text bucket (exact)
         wavs = jnp.asarray(rng.standard_normal((batch, t)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
         wmask = jnp.ones((batch, t), jnp.int32)
-        ids = jnp.asarray(rng.integers(0, 30000, size=(batch, LT)).astype(np.int32))
-        tmask = jnp.ones((batch, LT), jnp.int32)
+        ids = jnp.asarray(rng.integers(0, 30000, size=(batch, lt)).astype(np.int32))
+        tmask = jnp.ones((batch, lt), jnp.int32)
         p = P if params is None else params
 
         def sample(n_repeats, n_iters):
@@ -434,8 +466,9 @@ def main():
     # int8 numerics gate + bf16 reference point (5 s bucket): one extra
     # timed config and one un-scanned forward per path
     t5 = int(5.0 * SR)
+    lt5 = BUCKET_LT[5.0]  # serving text bucket at the 5 s config
     wavs5 = jnp.asarray(rng.standard_normal((B, t5)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
-    ids5 = jnp.asarray(rng.integers(0, 30000, size=(B, LT)).astype(np.int32))
+    ids5 = jnp.asarray(rng.integers(0, 30000, size=(B, lt5)).astype(np.int32))
     ones = lambda n: jnp.ones((B, n), jnp.int32)
 
     @jax.jit
@@ -446,8 +479,8 @@ def main():
             P_["f"], h_a, h_t.astype(h_a.dtype), fmask == 0, tmask == 0)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    p_int8 = np.asarray(_probs(P, wavs5, ones(t5), ids5, ones(LT)))
-    p_bf16 = np.asarray(_probs(P16, wavs5, ones(t5), ids5, ones(LT)))
+    p_int8 = np.asarray(_probs(P, wavs5, ones(t5), ids5, ones(lt5)))
+    p_bf16 = np.asarray(_probs(P16, wavs5, ones(t5), ids5, ones(lt5)))
     int8_prob_delta = float(np.abs(p_int8 - p_bf16).max())
     # actually GATE the numerics (advisor r2): a silent int8 regression
     # must fail the bench, not just annotate the JSON
@@ -456,7 +489,7 @@ def main():
         f"> {INT8_PROB_DELTA_MAX} vs bf16 (random-init weights)")
 
     fn5 = e2e_fn(ITERS)
-    args5 = (P16, wavs5, ones(t5), ids5, ones(LT))
+    args5 = (P16, wavs5, ones(t5), ids5, ones(lt5))
     float(fn5(*args5))
     bf16_best = float("inf")
     for _ in range(REPEATS):
@@ -539,6 +572,8 @@ def main():
                    f"jitted scan; buckets over {SPREAD_TOL:.0%} spread re-run "
                    f"at {2*REPEATS}x{2*ITERS}; median reported alongside best"),
         "duration_mix": DURATION_MIX_NOTE,
+        "text_mix": TEXT_MIX_NOTE,
+        "text_buckets": {str(sec): BUCKET_LT[sec] for sec in BUCKETS_S},
     }
     warn = {k: v for k, v in spreads.items() if v > SPREAD_TOL}
     if warn:

@@ -31,12 +31,19 @@ def parse_args(argv=None):
     ap.add_argument("--batch_size", type=int, default=None,
                     help="host batch size. Default: the bucket scheduler "
                          "uses each bucket's measured-optimal batch "
-                         "(128/64/128) uncapped; the 'batch' scheduler "
-                         "uses 16. Pass explicitly to cap both.")
+                         "(256/256/128/128) uncapped; the 'batch' "
+                         "scheduler uses 16. Pass explicitly to cap both.")
     ap.add_argument("--max_seconds", type=float, default=10.0)
     ap.add_argument("--bucket_seconds", type=float, nargs="+",
                     default=[2.5, 5.0, 7.5, 10.0])  # every 128-frame tile (see bench.py)
     ap.add_argument("--max_tokens", type=int, default=128)
+    ap.add_argument("--text_bucket_tokens", type=int, nargs="*",
+                    default=[32, 64],
+                    help="pad each flush's tokens to the smallest of "
+                         "these buckets covering its longest text "
+                         "(output-EXACT — see streaming.py; pass no "
+                         "values to always pad to --max_tokens like the "
+                         "reference)")
     # weights
     ap.add_argument("--wavlm_state_dict", type=str, default=None)
     ap.add_argument("--bert_state_dict", type=str, default=None)
@@ -148,6 +155,7 @@ def main(argv=None):
         multi_label=args.multi_label,
         bucket_seconds=tuple(args.bucket_seconds),
         int8_frontends=args.int8,
+        text_bucket_tokens=tuple(args.text_bucket_tokens),
     )
 
     df = pd.read_csv(args.index_csv)

@@ -24,10 +24,11 @@ import jax.numpy as jnp
 
 # Measured-optimal serving batch per length bucket (v5e, int8 path,
 # re-searched after every kernel-schedule change — bench.py BUCKET_B;
-# round 3: 2.5 s moved to B=256 with the full-width qkv schedules, and
-# the 7.5 s bucket JOINED the config — the round-2 "same tiles" result
-# is obsolete under those schedules (0.948 vs 1.207 ms/utt at 10 s).
-MEASURED_BUCKET_BATCH = {2.5: 256, 5.0: 64, 7.5: 128, 10.0: 128}
+# round 3: 2.5 s AND 5 s moved to B=256 with the full-width qkv
+# schedules, and the 7.5 s bucket JOINED the config — the round-2
+# "same tiles" result is obsolete under those schedules (0.948 vs
+# 1.207 ms/utt at 10 s).
+MEASURED_BUCKET_BATCH = {2.5: 256, 5.0: 256, 7.5: 128, 10.0: 128}
 
 
 class StreamingPipeline:
@@ -49,7 +50,8 @@ class StreamingPipeline:
                  compute_dtype=jnp.bfloat16, multi_label: bool = True,
                  bucket_seconds: tuple = (), int8_frontends: bool = False,
                  int8_fusion: bool | None = None,
-                 wav_transport: str = "f32"):
+                 wav_transport: str = "f32",
+                 text_bucket_tokens: tuple = ()):
         self.wavlm = wavlm
         self.bert = bert
         self.fusion = fusion
@@ -70,6 +72,21 @@ class StreamingPipeline:
         # union with max_seconds so clips between the largest bucket and the
         # cap are padded to the cap rather than silently truncated
         self.bucket_seconds = tuple(sorted(set(bucket_seconds) | {max_seconds}))
+        # Text-length bucketing: pad each flush's tokens to the smallest
+        # bucket that covers the batch's longest REAL text instead of
+        # always max_tokens. Unlike audio bucketing this is output-EXACT:
+        # BERT is mask-exact (additive -inf attention; absolute position
+        # embeddings of the valid prefix don't move), both β-gate pools
+        # are masked means, and the fused sequence's rows at and past the
+        # true text length are PAD in the OR-combined fused mask (the
+        # reference's text-length alignment rule), so the decoder never
+        # reads them. Measured logits delta LT=64 vs 32: 3.6e-7 (fp32
+        # reduction-order noise); β bit-exact. The reference instead pads
+        # every text to a fixed max_length
+        # (extract_text_feats_bert.py:37-38) — pass () to reproduce that.
+        self.text_buckets = tuple(sorted(
+            {int(t) for t in text_bucket_tokens if int(t) < max_tokens}
+            | {max_tokens}))
         dt = compute_dtype
         cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dt), t)
         params = {
@@ -177,6 +194,13 @@ class StreamingPipeline:
                                  return_tensors="np")
             ids = np.asarray(enc["input_ids"], np.int32)
             tmask = np.asarray(enc["attention_mask"], np.int32)
+            # slice to the smallest text bucket covering the batch's
+            # longest real text (output-exact; see __init__)
+            longest = int(tmask.sum(axis=1).max()) if len(texts) else 1
+            for tb in self.text_buckets:
+                if longest <= tb:
+                    ids, tmask = ids[:, :tb], tmask[:, :tb]
+                    break
         else:
             raise ValueError("StreamingPipeline needs a tokenizer for text input")
         return wavs, wmask, ids, tmask

@@ -236,3 +236,38 @@ def test_stream_bucketed_pad_flush(pipe):
     assert sorted(padded) == sorted(plain) == [f"u{i}" for i in range(5)]
     for u in plain:
         np.testing.assert_allclose(padded[u], plain[u], atol=1e-5, rtol=1e-5)
+
+
+def test_text_bucketing_exact(pipe):
+    """Text-length bucketing pads each flush to the smallest covering
+    token bucket and is output-EXACT vs always padding to max_tokens:
+    BERT is mask-exact, the β-gate pools are masked means, and the fused
+    mask ORs the text mask so rows past the true text length are never
+    read (streaming.py __init__). fp32 compute → only reduction-order
+    noise is tolerated."""
+    wavlm = WavLMEncoder(WavLMConfig.tiny())
+    bert = BertEncoder(BertConfig.tiny())
+    fusion = FusionWithEmotionDecoder(d_model=32, num_emotions=4, n_heads=4,
+                                      num_layers_fusion=1, num_layers_decoder=1,
+                                      beta_hidden=16)
+    mk = lambda tb: StreamingPipeline(
+        wavlm, bert, fusion, tokenizer=HashTok(),
+        max_seconds=0.1, max_tokens=16, compute_dtype=jnp.float32,
+        text_bucket_tokens=tb)
+    p_full, p_buck = mk(()), mk((4, 8))
+
+    rng = np.random.default_rng(5)
+    wavs = [rng.standard_normal(900).astype(np.float32) for _ in range(3)]
+    texts = ["a b", "c d e", "f"]  # longest = 4 tokens (CLS + 3) -> bucket 4
+
+    # bucket selection: smallest covering bucket, cap when over all buckets
+    arrs = p_buck.preprocess(wavs, texts)
+    assert arrs[2].shape[1] == 4 and arrs[3].shape[1] == 4
+    arrs_long = p_buck.preprocess(
+        wavs, ["one two three four five six seven eight nine ten"] * 3)
+    assert arrs_long[2].shape[1] == 16  # over 4 and 8 -> the max_tokens cap
+
+    probs_f, beta_f = p_full.infer(wavs, texts)
+    probs_b, beta_b = p_buck.infer(wavs, texts)
+    np.testing.assert_allclose(probs_b, probs_f, atol=1e-5)
+    np.testing.assert_allclose(beta_b, beta_f, atol=1e-5)

@@ -34,7 +34,10 @@ import jax
 import jax.numpy as jnp
 
 SR, LT = 16_000, 128
-BUCKETS = {2.5: 128, 5.0: 64, 7.5: 128, 10.0: 128}  # bucket s -> product batch
+BUCKETS = {2.5: 256, 5.0: 256, 7.5: 128, 10.0: 128}  # bucket s -> product batch
+# serving text bucket per audio bucket (bench.py BUCKET_LT: output-exact
+# text-length bucketing, ~3.25 tokens/s of speech + specials)
+BUCKET_LT = {2.5: 32, 5.0: 32, 7.5: 32, 10.0: 64}
 ITERS, REPEATS = 10, 4
 # int8 GEMM pricing: the BEST rate demonstrated IN THIS TREE — the fused
 # FFN kernel's ~190 TF/s effective (this tool's own round-3 run: ideal at
@@ -114,17 +117,18 @@ def main():
     budget = {}
     for sec, b in BUCKETS.items():
         t = int(sec * SR)
+        lt = BUCKET_LT[sec]
         wavs = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
         wmask = jnp.ones((b, t), jnp.int32)
-        ids = jnp.asarray(rng.integers(0, 30000, size=(b, LT)).astype(np.int32))
-        tmask = jnp.ones((b, LT), jnp.int32)
+        ids = jnp.asarray(rng.integers(0, 30000, size=(b, lt)).astype(np.int32))
+        tmask = jnp.ones((b, lt), jnp.int32)
 
         conv_fl, la = conv_stack_flops(wcfg, b, t)
         buckets_rel = relative_position_buckets(wcfg, la)
         rel = P["w"]["encoder"]["layers"]["0"]["attention"]["rel_attn_embed"]["weight"]
         pos = rel[buckets_rel].transpose(2, 0, 1).astype(jnp.float32)
         h_a = jnp.asarray(rng.standard_normal((b, la, D)).astype(np.float32) * 0.3).astype(jnp.bfloat16)
-        h_t = jnp.asarray(rng.standard_normal((b, LT, D)).astype(np.float32) * 0.3).astype(jnp.bfloat16)
+        h_t = jnp.asarray(rng.standard_normal((b, lt, D)).astype(np.float32) * 0.3).astype(jnp.bfloat16)
 
         def attn_stack(c, p, x, pos):
             for i in range(NL):
@@ -163,28 +167,28 @@ def main():
         ms = timeit(lambda c, p, i, m: bert.apply(
             p, i + (c > jnp.asarray(9e9, c.dtype)).astype(i.dtype), m)[0],
             P["b"], ids, tmask) * 1e3
-        bproj, bcore = mha_flops(b, LT, LT, D, H)
+        bproj, bcore = mha_flops(b, lt, lt, D, H)
         ideal = (bcfg.num_hidden_layers
-                 * ((bproj + 4.0 * b * LT * D * F) / INT8_TFS
+                 * ((bproj + 4.0 * b * lt * D * F) / INT8_TFS
                     + bcore / BF16_TFS)) * 1e3
         rows["BERT (int8 megakernel)"] = (ms, ideal)
 
         mz_a = jnp.zeros((b, la), bool)
-        mz_t = jnp.zeros((b, LT), bool)
+        mz_t = jnp.zeros((b, lt), bool)
         ms = timeit(lambda c, p, ha, ht: fusion.apply(
             p, ha + c, ht + c, mz_a, mz_t)[0], P["f"], h_a, h_t) * 1e3
         # fusion stack: 2 cross-modal layers (self a, self t, a2t, t2a +
         # 2 FFN 768->3072->768) + beta mlp + 2 decoder layers (E=4 queries)
         fl_i8, fl_bf = 0.0, 0.0
         for _ in range(2):
-            for lq, lk in ((la, la), (LT, LT), (la, LT), (LT, la)):
+            for lq, lk in ((la, la), (lt, lt), (la, lt), (lt, la)):
                 pr, co = mha_flops(b, lq, lk, D, 8)
                 fl_i8 += pr
                 fl_bf += co
-            fl_i8 += 4.0 * b * (la + LT) * D * 4 * D  # ffn_a + ffn_t
+            fl_i8 += 4.0 * b * (la + lt) * D * 4 * D  # ffn_a + ffn_t
         fl_i8 += 2.0 * b * (4 * D * D * 256 / D)  # beta mlp (tiny)
-        for _ in range(2):  # decoder: E=4 queries
-            pr, co = mha_flops(b, 4, la, D, 8)   # cross-attn (self is tiny)
+        for _ in range(2):  # decoder: E=4 queries, memory = fused len (=lt)
+            pr, co = mha_flops(b, 4, lt, D, 8)   # cross-attn (self is tiny)
             fl_i8 += pr
             fl_bf += co
             fl_i8 += 4.0 * b * 4 * D * 2048
