@@ -106,7 +106,11 @@ def check_mha_block(rng, results):
         lambda x: (x * 0.3).astype(jnp.bfloat16), p)
     q = quantize_tree_for_serving(p)
     for (lq, lk, tag) in [(499, 499, "self L=499"), (499, 128, "cross 499x128"),
-                          (128, 128, "self L=128")]:
+                          (128, 128, "self L=128"),
+                          # serving text buckets (round 3): BERT/fusion
+                          # text-side sublayers at 32/64 tokens
+                          (32, 32, "self L=32"), (64, 64, "self L=64"),
+                          (499, 32, "cross 499x32"), (32, 499, "cross 32x499")]:
         xq = jnp.asarray(rng.standard_normal((B, lq, d_model)).astype(np.float32)
                          * 0.5).astype(jnp.bfloat16)
         xkv = xq if lq == lk else jnp.asarray(
