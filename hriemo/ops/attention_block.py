@@ -14,7 +14,11 @@ per batch element":
     and frontends/bert.py. Returns pre-residual output; the caller's
     residual+LN are one fused XLA elementwise pass. Round-3 schedule
     (``_mha_schedule_for``): BERT 19.68 -> 14.96 ms/B128 (-24%), fusion
-    -3..-11% per bucket.
+    -3..-11% per bucket. Round-3 packed-short-row mode (L<=64,
+    d%128==0): 128//sub elements share one 128-lane tile under a
+    block-diagonal bias, reclaiming the 4x/2x lane-pad waste at the
+    serving text buckets — BERT B=256/lt=32 14.58 -> 7.53 ms,
+    B=128/lt=64 10.02 -> 7.47 (bf16-XLA refs 15.7/15.1).
 
 Per-component time-vs-ceiling budget: PERF.md (tools/perf_budget.py);
 per-kernel on-TPU numerics A/B: tools/kernel_numerics.py.
@@ -307,7 +311,7 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
                 wq_ref, wk_ref, wv_ref, wo_ref,
                 sq_ref, sk_ref, sv_ref, so_ref,
                 bq_ref, bk_ref, bv_ref, bo_ref,
-                o_ref, *, n_heads, bpg, hpc):
+                o_ref, *, n_heads, bpg, hpc, sub: int = 0):
     """Standard MHA sublayer (packed-proj int8): out_proj(attn(xq, xkv)).
 
     The WavLM megakernel minus the gated position bias — shared by the
@@ -335,6 +339,17 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
     xqq, xqs = _quant_rows(xq)
     xkq, xks = _quant_rows(xkv)
 
+    # packed-short-row mode (``sub``>0): each "element" of this block is
+    # really 128//sub real elements whose sub-length rows were stacked
+    # into the 128-lane tile by the wrapper; the block-diagonal bias
+    # keeps them from attending across each other. exp(NEG_INF + finite)
+    # underflows to exactly 0 in fp32, so packing is exact (core/masking
+    # NEG_INF contract).
+    if sub:
+        bi = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0) // sub
+        bj = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1) // sub
+        bdiag = jnp.where(bi == bj, 0.0, NEG_INF).astype(jnp.float32)
+
     outs = [[] for _ in range(bpg)]
     for c in range(n_heads // hpc):
         csl = slice(c * cw, (c + 1) * cw)
@@ -355,6 +370,8 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
                     qh, kh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale  # [Lqp, Lkp]
                 s = s + kbias
+                if sub:
+                    s = s + bdiag
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
                 l = jnp.sum(p, axis=-1, keepdims=True)
@@ -422,6 +439,39 @@ def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
     """
     b, lq, d = xq.shape
     lk = xkv.shape[1]
+    lq_real, lk_real, b_real = lq, lk, b
+
+    # Packed-short-row mode (round 3, text buckets): when BOTH sequence
+    # lengths fit in a 64-row sub-block, stack 128//sub elements' rows
+    # into each 128-lane tile instead of zero-padding every element to
+    # 128 — the per-(element, head) attention core and the row-stacked
+    # projection GEMMs then do 1x the work instead of 128/sub x. A
+    # block-diagonal NEG_INF bias (built in-kernel from iota; exact —
+    # exp underflows to 0) stops cross-element attention; element i's
+    # queries meet element i's keys because rows and columns ride the
+    # same reshape, so this works for cross-attention too. Measured
+    # (.scratch/bert_short_ab.py, real chip): BERT B=256/lt=32
+    # 14.58 -> 7.53 ms, B=128/lt=64 10.02 -> 7.47, B=128/lt=32
+    # 7.3 -> 4.70 (bf16-XLA references 15.7/15.1/8.9).
+    sub = 0
+    if max(lq, lk) <= 64 and d % 128 == 0:
+        sub = 32 if max(lq, lk) <= 32 else 64
+        g = 128 // sub
+        bg = -(-b // g) * g
+        pad3 = ((0, bg - b), (0, 0), (0, 0))
+        xq = jnp.pad(_pad_axis(xq, 1, sub), pad3)
+        xkv = jnp.pad(_pad_axis(xkv, 1, sub), pad3)
+        if key_padding_mask is None:
+            # padded rows (length pad + element pad) must not act as keys
+            key_padding_mask = jnp.zeros((b, lk), bool)
+        key_padding_mask = jnp.pad(
+            _pad_axis(key_padding_mask, 1, sub, value=True),
+            ((0, bg - b), (0, 0)), constant_values=True)
+        b, lq, lk = bg // g, g * sub, g * sub
+        xq = xq.reshape(b, lq, d)
+        xkv = xkv.reshape(b, lk, d)
+        key_padding_mask = key_padding_mask.reshape(b, lk)
+
     if bpg is None or hpc is None:
         d_bpg, d_hpc = _mha_schedule_for(lq, lk, d, n_heads)
         bpg = d_bpg if bpg is None else bpg
@@ -462,7 +512,8 @@ def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
     whole = lambda *shape: [pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                          memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
-        functools.partial(_mha_kernel, n_heads=n_heads, bpg=bpg, hpc=hpc),
+        functools.partial(_mha_kernel, n_heads=n_heads, bpg=bpg, hpc=hpc,
+                          sub=sub),
         grid=(bp // bpg,),
         in_specs=[
             pl.BlockSpec((bpg, lqp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -486,6 +537,10 @@ def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
         ),
         interpret=jax.default_backend() != "tpu",
     )(xqp, xkp, kpb, wq, wk, wv, wo, sq, sk, sv, so, bq, bk, bv, bo)
+    if sub:
+        # unpack: [b_packed, g*sub, d] -> [b_packed*g, sub, d] -> real dims
+        out = out[:b, :lq].reshape(-1, sub, d)
+        return out[:b_real, :lq_real]
     return out[:b, :lq]
 
 

@@ -185,3 +185,35 @@ def test_mha_block_hd96():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_mha_block_packed_short_rows():
+    """Packed-short-row mode (L<=64, d%128==0): 128//sub elements share one
+    128-lane tile with a block-diagonal mask. Must match the einsum route
+    exactly as the unpacked kernel does — incl. odd batch (element pad),
+    cross-attention with lq != lk, and per-element key padding."""
+    from hriemo.nn.attention import mha_apply, mha_init
+    from hriemo.ops.attention_block import mha_block_int8
+    from hriemo.ops.quant import quantize_tree_for_serving
+
+    d, h = 256, 2
+    params = quantize_tree_for_serving(mha_init(jax.random.key(5), d),
+                                       min_dim=128)
+    rng = np.random.default_rng(7)
+    for b, lq, lk in [(3, 20, 20),    # sub=32, g=4, batch pad 3->4
+                      (5, 10, 50),    # sub=64, g=2, cross lq != lk
+                      (8, 64, 64),    # sub=64 exact fit
+                      (2, 32, 17)]:   # sub=32, short keys
+        xq = jnp.asarray(rng.standard_normal((b, lq, d)).astype(np.float32) * 0.5)
+        xkv = jnp.asarray(rng.standard_normal((b, lk, d)).astype(np.float32) * 0.5)
+        lens = rng.integers(1, lk + 1, size=b)
+        mask = jnp.asarray(np.arange(lk)[None, :] >= lens[:, None])
+        ref, _ = mha_apply(params, xq, xkv, xkv, h, key_padding_mask=mask,
+                           use_kernel=False)
+        got = mha_block_int8(params, xq, xkv, mask, h)
+        assert got.shape == (b, lq, d), got.shape
+        a = np.asarray(got, np.float32)
+        r = np.asarray(ref, np.float32)
+        np.testing.assert_allclose(a, r, atol=5e-2, rtol=5e-2)
+        assert np.median(np.abs(a - r)) < 5e-3
+        assert np.all(np.isfinite(a))
