@@ -203,7 +203,9 @@ def test_mha_block_packed_short_rows():
     for b, lq, lk in [(3, 20, 20),    # sub=32, g=4, batch pad 3->4
                       (5, 10, 50),    # sub=64, g=2, cross lq != lk
                       (8, 64, 64),    # sub=64 exact fit
-                      (2, 32, 17)]:   # sub=32, short keys
+                      (2, 32, 17),    # sub=32, short keys
+                      (9, 16, 16),    # sub=16, g=8, batch pad 9->16
+                      (3, 11, 14)]:   # sub=16, cross lq != lk
         xq = jnp.asarray(rng.standard_normal((b, lq, d)).astype(np.float32) * 0.5)
         xkv = jnp.asarray(rng.standard_normal((b, lk, d)).astype(np.float32) * 0.5)
         lens = rng.integers(1, lk + 1, size=b)
