@@ -47,6 +47,7 @@ reference publishes no wall-clock numbers, SURVEY.md §6).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -350,9 +351,31 @@ def bench_train(n_steps: int = 20, repeats: int = 3):
     return out
 
 
+def _wait_for_backend(attempts: int = 4, sleep_s: float = 120.0):
+    """Retry backend init: the axon tunnel intermittently reports
+    UNAVAILABLE (observed outages of ~1h; each failed init itself takes
+    ~25-30 min to surface), and a single flake must not zero the round's
+    headline. Bounded so a hard outage still fails loudly."""
+    for i in range(attempts):
+        try:
+            dev = jax.devices()
+            jnp.zeros((8, 8)).block_until_ready()
+            float(jnp.sum(jnp.ones((8, 8))))  # tunnel defers until a fetch
+            return dev
+        except RuntimeError as e:  # jax backend init raises RuntimeError
+            if i == attempts - 1:
+                raise
+            print(f"# backend unavailable (attempt {i + 1}/{attempts}): "
+                  f"{str(e).splitlines()[0][:120]} — retrying in {sleep_s:.0f}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(sleep_s)
+
+
 def main():
     from hriemo.frontends import BertConfig, BertEncoder, WavLMConfig, WavLMEncoder
     from hriemo.models import FusionWithEmotionDecoder
+
+    _wait_for_backend()
 
     import dataclasses
 
