@@ -601,9 +601,18 @@ def main():
     warn = {k: v for k, v in spreads.items() if v > SPREAD_TOL}
     if warn:
         out["spread_warning"] = warn
-    out["scheduler"] = bench_scheduler(
-        wavlm, bert, fusion, bucket_stats, rng)
-    out["train"] = bench_train()
+    # The headline is measured by here; a tunnel transient in the two
+    # auxiliary blocks must not crash the whole run (the driver records
+    # this script's single JSON line — all-or-nothing otherwise).
+    try:
+        out["scheduler"] = bench_scheduler(
+            wavlm, bert, fusion, bucket_stats, rng)
+    except Exception as e:  # noqa: BLE001 — annotate, keep the headline
+        out["scheduler"] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    try:
+        out["train"] = bench_train()
+    except Exception as e:  # noqa: BLE001
+        out["train"] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
     print(json.dumps(out))
 
 
