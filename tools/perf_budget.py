@@ -285,11 +285,24 @@ def _write_perf_md(budget):
         "gap is structural (contraction depth 10 cannot fill the MXU;",
         "round-2 A/Bs: unbeatable), and roughly half the attention gap is",
         "the fp32-softmax VPU floor. See the hand-written attribution",
-        "section in the committed PERF.md (regenerating this file drops",
-        "it — re-add from git history). Per-kernel numerics A/B:",
-        "`tools/kernel_numerics.py`.",
+        "section below (preserved across regeneration). Per-kernel",
+        "numerics A/B: `tools/kernel_numerics.py`.",
         "",
     ]
+    # Preserve any hand-written sections (## headers not matching the
+    # generated "<sec> s bucket" pattern) from the existing PERF.md —
+    # the analytic attribution narrative must survive regeneration.
+    try:
+        with open("PERF.md") as f:
+            old = f.read()
+        import re
+        for m in re.finditer(r"^## (?!\d+(?:\.\d+)? s bucket)(.*)$", old,
+                             flags=re.M):
+            start = m.start()
+            nxt = old.find("\n## ", start + 1)
+            lines += [old[start: None if nxt < 0 else nxt].rstrip(), ""]
+    except FileNotFoundError:
+        pass
     with open("PERF.md", "w") as f:
         f.write("\n".join(lines))
 
