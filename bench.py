@@ -351,6 +351,14 @@ def bench_train(n_steps: int = 20, repeats: int = 3):
     return out
 
 
+def _progress(msg: str) -> None:
+    """Stderr progress marker (stdout stays the driver's one JSON line).
+
+    Bench runs over the tunnel can take 15+ min; without these a stalled
+    tunnel is indistinguishable from a long compile."""
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def _wait_for_backend(attempts: int = 4, sleep_s: float = 120.0):
     """Retry backend init: the axon tunnel intermittently reports
     UNAVAILABLE (observed outages of ~1h; each failed init itself takes
@@ -483,7 +491,11 @@ def main():
         return min(times), float(np.median(times)), spread, flops
 
     # per-bucket steady-state cost at each bucket's measured-optimal batch
-    bucket_stats = {sec: measure(BUCKET_B[sec], sec) for sec in BUCKETS_S}
+    bucket_stats = {}
+    for sec in BUCKETS_S:
+        bucket_stats[sec] = measure(BUCKET_B[sec], sec)
+        _progress(f"bucket {sec}s B={BUCKET_B[sec]}: "
+                  f"{bucket_stats[sec][0] * 1000:.1f} ms/batch")
     per_utt_s = {sec: s[0] / BUCKET_B[sec] for sec, s in bucket_stats.items()}
 
     # int8 numerics gate + bf16 reference point (5 s bucket): one extra
@@ -604,11 +616,13 @@ def main():
     # The headline is measured by here; a tunnel transient in the two
     # auxiliary blocks must not crash the whole run (the driver records
     # this script's single JSON line — all-or-nothing otherwise).
+    _progress(f"headline {out['value']} utt/s — starting scheduler block")
     try:
         out["scheduler"] = bench_scheduler(
             wavlm, bert, fusion, bucket_stats, rng)
     except Exception as e:  # noqa: BLE001 — annotate, keep the headline
         out["scheduler"] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    _progress("scheduler block done — starting train block")
     try:
         out["train"] = bench_train()
     except Exception as e:  # noqa: BLE001
