@@ -71,18 +71,23 @@ SR = 16_000
 # ms/utt at B=128 (0.956@96, 0.945@256: a tie, so 128 wins batch-fill
 # latency) vs 1.207 at the 10 s bucket, a 21% saving for the ~19% of
 # clips in (5, 7.5] (.scratch/bucket75_r3.py, bucket_batch_r3b.py).
+# Round-3c (16-token text bucket live, .scratch/text16_ab.py): 2.5 s
+# re-sweeps to B=384 (0.2859 ms/utt vs 0.2909@256, 0.2941@128,
+# 0.2911@512) — BERT got ~2x cheaper at lt=16, shifting the optimum up.
 BUCKETS_S = (2.5, 5.0, 7.5, 10.0)
-BUCKET_B = {2.5: 256, 5.0: 256, 7.5: 128, 10.0: 128}
+BUCKET_B = {2.5: 384, 5.0: 256, 7.5: 128, 10.0: 128}
 # Text-length buckets (hriemo.infer.streaming text_bucket_tokens):
 # output-EXACT unlike audio buckets (see streaming.py __init__ — BERT is
 # mask-exact and the fused mask ORs the text mask, so rows past the true
 # text length are never read). Realistic serving text length per audio
 # bucket: conversational English ~150 wpm (2.5 words/s) x ~1.3 BERT
 # wordpieces/word + [CLS]/[SEP] => tokens(d) = 2 + ceil(3.25*d), so the
-# 2.5/5/7.5 s buckets ride the 32-token bucket and 10 s rides 64 (the
+# 2.5 s bucket rides the 16-token bucket (sub=16 packed-short-row MHA:
+# 8 elements per 128-lane tile), 5/7.5 s ride 32, and 10 s rides 64 (the
 # reference instead pads every text to max_length=128,
-# extract_text_feats_bert.py:37-38).
-TEXT_BUCKETS = (32, 64)
+# extract_text_feats_bert.py:37-38). lt=16 vs 32 at the 2.5 s bucket:
+# 74.47 vs 78.21 ms/batch at B=256 (.scratch/text16_ab.py).
+TEXT_BUCKETS = (16, 32, 64)
 TOKENS_PER_SEC = 3.25  # 150 wpm x ~1.3 wordpieces/word
 BUCKET_LT = {
     sec: next(tb for tb in (*TEXT_BUCKETS, 128)
@@ -92,8 +97,8 @@ BUCKET_LT = {
 TEXT_MIX_NOTE = (
     "text length tied to audio duration at ~150 wpm conversational "
     "English x ~1.3 BERT wordpieces/word (+2 specials); flushes ride the "
-    "output-exact text buckets (32, 64) instead of the reference's fixed "
-    "max_length=128 padding"
+    "output-exact text buckets (16, 32, 64) instead of the reference's "
+    "fixed max_length=128 padding"
 )
 B = 64  # FLOP-accounting / latency reference batch
 LT = 128

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 # schedules, and the 7.5 s bucket JOINED the config — the round-2
 # "same tiles" result is obsolete under those schedules (0.948 vs
 # 1.207 ms/utt at 10 s).
-MEASURED_BUCKET_BATCH = {2.5: 256, 5.0: 256, 7.5: 128, 10.0: 128}
+MEASURED_BUCKET_BATCH = {2.5: 384, 5.0: 256, 7.5: 128, 10.0: 128}
 
 
 class StreamingPipeline:

@@ -108,9 +108,11 @@ def check_mha_block(rng, results):
     for (lq, lk, tag) in [(499, 499, "self L=499"), (499, 128, "cross 499x128"),
                           (128, 128, "self L=128"),
                           # serving text buckets (round 3): BERT/fusion
-                          # text-side sublayers at 32/64 tokens
-                          (32, 32, "self L=32"), (64, 64, "self L=64"),
-                          (499, 32, "cross 499x32"), (32, 499, "cross 32x499")]:
+                          # text-side sublayers at 16/32/64 tokens
+                          (16, 16, "self L=16"), (32, 32, "self L=32"),
+                          (64, 64, "self L=64"),
+                          (499, 32, "cross 499x32"), (32, 499, "cross 32x499"),
+                          (16, 499, "cross 16x499")]:
         xq = jnp.asarray(rng.standard_normal((B, lq, d_model)).astype(np.float32)
                          * 0.5).astype(jnp.bfloat16)
         xkv = xq if lq == lk else jnp.asarray(
