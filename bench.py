@@ -74,6 +74,10 @@ SR = 16_000
 # Round-3c (16-token text bucket live, .scratch/text16_ab.py): 2.5 s
 # re-sweeps to B=384 (0.2859 ms/utt vs 0.2909@256, 0.2941@128,
 # 0.2911@512) — BERT got ~2x cheaper at lt=16, shifting the optimum up.
+# Round-3d re-sweep of the other buckets post-packed-kernels
+# (.scratch/batch_sweep_r3d.py): 5 s stays 256 (0.5530 vs 0.5549@384,
+# 0.5615@512), 7.5 s stays 128 (0.8518 vs 0.8720@192, 0.8633@256),
+# 10 s stays 128 (1.1416 vs 1.1868@192, 1.1494@256).
 BUCKETS_S = (2.5, 5.0, 7.5, 10.0)
 BUCKET_B = {2.5: 384, 5.0: 256, 7.5: 128, 10.0: 128}
 # Text-length buckets (hriemo.infer.streaming text_bucket_tokens):
@@ -276,7 +280,7 @@ def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
     }
 
 
-def bench_train(n_steps: int = 20, repeats: int = 3):
+def bench_train(n_steps: int = 20, repeats: int = 3, BT: int = 16, ACC: int = 2):
     """One measured training number (VERDICT r2 missing #5 / next #6).
 
     The flagship MOSEI v2 config (scripts/fusion/README.md v2:
@@ -284,13 +288,18 @@ def bench_train(n_steps: int = 20, repeats: int = 3):
     dropout=0.4, lr 5e-5, wd 0.05, batch 16 x grad-accum 2, pos_weight
     BCE + β-entropy 1e-3, label normalisation), bf16 compute / fp32
     params, real sequence caps La=300/Lt=128. ms/step is a full
-    forward+backward+AdamW update including the 2-microbatch lax.scan.
+    forward+backward+AdamW update including the grad-accum lax.scan.
+    The reference's batch 16 leaves the chip latency-bound (the whole
+    model is d_model=256), so the train block also carries a
+    ``throughput`` row at batch 512 x accum 1 — same model, same update
+    — showing what the train step sustains when the input pipeline can
+    feed it.
     """
     from hriemo.models import MoseiFusionWithEmotionDecoder
     from hriemo.parallel.train_step import (TrainConfig, create_train_state,
                                             make_train_step)
 
-    LA, LTT, BT, ACC = 300, 128, 16, 2
+    LA, LTT = 300, 128
     model = MoseiFusionWithEmotionDecoder(
         d_audio=74, d_text=300, d_model=256, num_emotions=6, n_heads=4,
         num_layers_fusion=1, num_layers_decoder=2, beta_hidden=64,
@@ -315,6 +324,9 @@ def bench_train(n_steps: int = 20, repeats: int = 3):
                               >= rs.integers(LTT // 2, LTT + 1, size=(ACC, BT))[..., None]),
         "y": jnp.asarray(rs.uniform(0, 3, size=(ACC, BT, 6)).astype(np.float32)),
     }
+    if ACC == 1:
+        # make_train_step contract: no leading accum dim at grad_accum=1
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
     key = jax.random.key(1)
 
     flops = None
@@ -343,7 +355,7 @@ def bench_train(n_steps: int = 20, repeats: int = 3):
 
     out = {
         "config": ("MOSEI v2 flagship: d_model=256 h4 1xfusion+2xdecoder, "
-                   "bf16 compute/fp32 params, batch 16 x accum 2, "
+                   f"bf16 compute/fp32 params, batch {BT} x accum {ACC}, "
                    "La=300 Lt=128, pos_weight BCE + beta-entropy, AdamW"),
         "ms_per_step": round(best * 1000, 2),
         "examples_per_sec": round(BT * ACC / best, 1),
@@ -353,6 +365,11 @@ def bench_train(n_steps: int = 20, repeats: int = 3):
     if flops:
         out["mfu"] = round(flops / best / V5E_BF16_PEAK, 3)
         out["mfu_note"] = "compiled-HLO FLOPs of one full update / ms_per_step / bf16 peak"
+    if BT == 16 and ACC == 2:
+        thr = bench_train(n_steps=n_steps, repeats=repeats, BT=512, ACC=1)
+        out["throughput"] = {k: thr[k] for k in
+                             ("config", "ms_per_step", "examples_per_sec",
+                              "tokens_per_sec", "mfu") if k in thr}
     return out
 
 

@@ -289,6 +289,26 @@ def use_conv_stack(cfg, params) -> bool:
     shipped conv-path win is the Gram-matrix GroupNorm in
     frontends/wavlm.py (group_norm_stats_from_waveform) which removes
     the GN passes from the XLA route instead.
+
+    Round-3 int8-conv attempt (measured, do not retry): a per-layer W8A8
+    Pallas kernel in a paired [T/2, 2C] layout (stride-2 conv == dense
+    GEMM; k=3 adds a one-row-halo second dot; the layout itself is a
+    free bitcast given even-padded T, and conv0 can emit NHC at zero
+    cost — 15.72 vs 15.79 ms NCH) LOSES at every layer:
+    0.67x/0.68x/0.71x/0.76x/0.80x/0.87x vs XLA bf16 for conv1..6 at the
+    10 s bucket, B=128 (kernel ~109 TF/s vs XLA 164 at conv1). Root
+    cause is structural, sharper than round 2's rate argument: at
+    C_out=512 the per-row quantize+dequant+GELU VPU work (~20
+    cycles/row) matches the int8 MXU work (~24 cycles/row), so the
+    kernel is VPU-bound at ~55% of the demonstrated 190 TF/s int8 rate —
+    the fused FFN kernel escapes this only because N=3072 gives 6x more
+    MXU work per quantized row. A hybrid (XLA conv0-3 + this file's K2
+    tail kernel for conv4-6) also can't win: the tail needs a pad copy
+    of the conv3 activation plus the K2 kernel's ~58% MXU rate, while
+    in-graph XLA runs the whole stack at 48.7 ms vs the 65.7 ms
+    standalone per-layer sum — XLA's cross-layer fusion already
+    recovers the small-T tail overhead the kernel would target.
+    (Drill: .scratch/conv_int8_drill.py, v5e, 2026-08.)
     """
     return False
 
