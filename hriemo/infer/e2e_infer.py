@@ -38,7 +38,7 @@ def parse_args(argv=None):
                     default=[2.5, 5.0, 7.5, 10.0])  # every 128-frame tile (see bench.py)
     ap.add_argument("--max_tokens", type=int, default=128)
     ap.add_argument("--text_bucket_tokens", type=int, nargs="*",
-                    default=[32, 64],
+                    default=[16, 32, 64],
                     help="pad each flush's tokens to the smallest of "
                          "these buckets covering its longest text "
                          "(output-EXACT — see streaming.py; pass no "
