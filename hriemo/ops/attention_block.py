@@ -311,7 +311,8 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
                 wq_ref, wk_ref, wv_ref, wo_ref,
                 sq_ref, sk_ref, sv_ref, so_ref,
                 bq_ref, bk_ref, bv_ref, bo_ref,
-                o_ref, *, n_heads, bpg, hpc, sub: int = 0):
+                o_ref, *, n_heads, bpg, hpc, sub: int = 0,
+                subk: int = 0):
     """Standard MHA sublayer (packed-proj int8): out_proj(attn(xq, xkv)).
 
     The WavLM megakernel minus the gated position bias — shared by the
@@ -346,8 +347,14 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
     # underflows to exactly 0 in fp32, so packing is exact (core/masking
     # NEG_INF contract).
     if sub:
+        # symmetric mode: queries AND keys packed in sub-row blocks.
+        # q-pack mode (``subk`` = the real per-element key length):
+        # queries packed in ``sub``-row blocks, keys stacked at their
+        # real length — divisor differs per side, same diagonal rule.
+        # Tail key-pad columns give bj//subk >= n_packed and match no
+        # query block (and carry NEG_INF in kbias anyway).
         bi = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0) // sub
-        bj = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1) // sub
+        bj = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1) // (subk or sub)
         bdiag = jnp.where(bi == bj, 0.0, NEG_INF).astype(jnp.float32)
 
     outs = [[] for _ in range(bpg)]
@@ -427,6 +434,13 @@ def _mha_schedule_for(lq: int, lk: int, d: int, n_heads: int) -> tuple[int, int]
     return 1, base_hpc
 
 
+def _qpack_enabled() -> bool:
+    """q-side-only packing: measured LOSING (see the branch below) —
+    opt-in (HRIEMO_QPACK=1) for tests/future re-measurement only. Read
+    at trace time so tests can toggle it per-call."""
+    return os.environ.get("HRIEMO_QPACK") == "1"
+
+
 def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
                    bpg: int | None = None, hpc: int | None = None):
     """Fused int8 MHA sublayer for packed torch-MHA params.
@@ -456,7 +470,7 @@ def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
     # sub=16 (8 elements/tile) extends the same scheme down to the
     # 16-token text bucket (2.5 s clips need ~11 tokens); the packed
     # tile stays [128, 128], only the block-diagonal pattern changes.
-    sub = 0
+    sub = subk = 0
     if max(lq, lk) <= 64 and d % 128 == 0:
         mx = max(lq, lk)
         sub = 16 if mx <= 16 else 32 if mx <= 32 else 64
@@ -475,9 +489,61 @@ def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
         xq = xq.reshape(b, lq, d)
         xkv = xkv.reshape(b, lk, d)
         key_padding_mask = key_padding_mask.reshape(b, lk)
+    elif _qpack_enabled() and lq <= 64 < lk and d % 128 == 0:
+        # q-side-only packing (round 3c): short queries (text rows in
+        # the cross-modal t->a sublayers, the decoder's 6 emotion
+        # queries) against long audio keys. Only the query side fits a
+        # sub-block, so stack 128//subq elements' query rows into one
+        # 128-lane tile and stack the SAME g elements' keys at their
+        # real length (a free reshape — no per-element key pad). The
+        # q/out projections then do 1x the work instead of 128/lq x,
+        # while the score/PV GEMMs do exactly the same total FLOPs as
+        # the per-element 128-row-padded layout they replace
+        # ([128, g*lk] == g x [128, lk]). The kernel's block-diagonal
+        # bias uses divisor subq on rows and lk on columns.
+        #
+        # ROUTED OFF (QPACK=False): measured LOSING at every serving
+        # bucket in the whole-model A/B (.scratch/qpack_ab.py, real
+        # chip, full-width qkv schedule, decoder kept on einsum):
+        # 2.5 s -0.2%, 5 s -0.8%, 7.5 s -0.5%, 10 s -2.4% vs the
+        # unpacked kernel; the first variant (generic half-width
+        # schedule + decoder routed into the kernel) lost 1.2-1.8%.
+        # The saved q/out-projection FLOPs are outweighed by the
+        # attention core's g x-wider key rows: softmax reductions span
+        # g lane-tiles per query row, the fp32 score buffer grows g x,
+        # and one big kv block pipelines shallower than bpg-stacked
+        # small ones. Kept (with equivalence tests) as the measured
+        # record; exact per the same NEG_INF-underflow argument as the
+        # symmetric mode.
+        subq = 16 if lq <= 16 else 32 if lq <= 32 else 64
+        # cap packed key rows (VMEM: kv block + k/v chunk panels)
+        while subq < 128 and (128 // subq) * lk > 2048:
+            subq *= 2
+        if subq < 128:
+            sub, subk = subq, lk
+            g = 128 // subq
+            bg = -(-b // g) * g
+            pad3 = ((0, bg - b), (0, 0), (0, 0))
+            xq = jnp.pad(_pad_axis(xq, 1, subq), pad3)
+            xkv = jnp.pad(xkv, pad3)
+            if key_padding_mask is None:
+                key_padding_mask = jnp.zeros((b, lk), bool)
+            key_padding_mask = jnp.pad(
+                key_padding_mask, ((0, bg - b), (0, 0)),
+                constant_values=True)
+            b, lq, lk = bg // g, g * subq, g * lk
+            xq = xq.reshape(b, lq, d)
+            xkv = xkv.reshape(b, lk, d)
+            key_padding_mask = key_padding_mask.reshape(b, lk)
 
     if bpg is None or hpc is None:
-        d_bpg, d_hpc = _mha_schedule_for(lq, lk, d, n_heads)
+        if subk and (n_heads * (d // n_heads)) % 128 == 0:
+            # q-pack shapes (128 q rows, ~1-1.5k kv rows): single element,
+            # full-width qkv GEMMs (the measured-best family everywhere
+            # else; the generic fallback's half-width chunks lose)
+            d_bpg, d_hpc = 1, n_heads
+        else:
+            d_bpg, d_hpc = _mha_schedule_for(lq, lk, d, n_heads)
         bpg = d_bpg if bpg is None else bpg
         hpc = d_hpc if hpc is None else hpc
     assert n_heads % hpc == 0 and (hpc * (d // n_heads)) % 128 == 0, \
@@ -517,7 +583,7 @@ def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
                                          memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
         functools.partial(_mha_kernel, n_heads=n_heads, bpg=bpg, hpc=hpc,
-                          sub=sub),
+                          sub=sub, subk=subk),
         grid=(bp // bpg,),
         in_specs=[
             pl.BlockSpec((bpg, lqp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

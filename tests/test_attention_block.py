@@ -187,14 +187,18 @@ def test_mha_block_hd96():
                                atol=5e-2, rtol=5e-2)
 
 
-def test_mha_block_packed_short_rows():
+def test_mha_block_packed_short_rows(monkeypatch):
     """Packed-short-row mode (L<=64, d%128==0): 128//sub elements share one
     128-lane tile with a block-diagonal mask. Must match the einsum route
     exactly as the unpacked kernel does — incl. odd batch (element pad),
-    cross-attention with lq != lk, and per-element key padding."""
+    cross-attention with lq != lk, and per-element key padding. The
+    q-pack cases (short queries, long keys) exercise the routed-OFF
+    HRIEMO_QPACK mode — measured losing on-chip but kept exact."""
     from hriemo.nn.attention import mha_apply, mha_init
     from hriemo.ops.attention_block import mha_block_int8
     from hriemo.ops.quant import quantize_tree_for_serving
+
+    monkeypatch.setenv("HRIEMO_QPACK", "1")
 
     d, h = 256, 2
     params = quantize_tree_for_serving(mha_init(jax.random.key(5), d),
@@ -205,7 +209,13 @@ def test_mha_block_packed_short_rows():
                       (8, 64, 64),    # sub=64 exact fit
                       (2, 32, 17),    # sub=32, short keys
                       (9, 16, 16),    # sub=16, g=8, batch pad 9->16
-                      (3, 11, 14)]:   # sub=16, cross lq != lk
+                      (3, 11, 14),    # sub=16, cross lq != lk
+                      (3, 6, 6),      # decoder self-attn shape (sub=16)
+                      # q-pack mode (round 3c): short queries, long keys
+                      (5, 16, 124),   # subq=16, g=8 (cross t->a, 2.5 s)
+                      (3, 6, 100),    # subq=16, decoder-style 6 queries
+                      (2, 33, 80),    # subq=64 via lq>32
+                      (4, 16, 600)]:  # VMEM cap: (128//16)*600>2048 -> subq=64
         xq = jnp.asarray(rng.standard_normal((b, lq, d)).astype(np.float32) * 0.5)
         xkv = jnp.asarray(rng.standard_normal((b, lk, d)).astype(np.float32) * 0.5)
         lens = rng.integers(1, lk + 1, size=b)
