@@ -27,8 +27,9 @@ Method:
     steady-state ms/batch is measured with a jitted lax.scan closed by a
     scalar fetch (the remote TPU tunnel defers execution until a host
     fetch, so naive timing lies);
-  * text is padded to the serving text bucket (32 tokens; 64 at the
-    10 s audio bucket), not the reference's fixed max_length=128 — an
+  * text is padded to the serving text bucket (16 tokens at the 2.5 s
+    audio bucket, 32 at 5/7.5 s, 64 at 10 s), not the reference's fixed
+    max_length=128 — an
     output-EXACT optimisation (``TEXT_BUCKETS``/``BUCKET_LT``; realism
     provenance in ``text_mix``, exactness contract in
     hriemo/infer/streaming.py and tests/test_streaming.py);
@@ -153,6 +154,13 @@ def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
     """
     from hriemo.dataprep.extract_iemocap import _HashTokenizer
     from hriemo.infer.streaming import MEASURED_BUCKET_BATCH, StreamingPipeline
+
+    # BUCKET_B (this file), MEASURED_BUCKET_BATCH (streaming defaults) and
+    # perf_budget's copy are hand-synced serving config; the scheduler
+    # block counts flushes with one and prices them with bucket_stats
+    # measured at the other — fail loudly if they ever drift (they did
+    # once: the 2.5 s 256->384 move; review finding, round 3c)
+    assert MEASURED_BUCKET_BATCH == BUCKET_B, (MEASURED_BUCKET_BATCH, BUCKET_B)
 
     pipe = StreamingPipeline(
         wavlm, bert, fusion, tokenizer=_HashTokenizer(30522),
@@ -331,10 +339,23 @@ def bench_train(n_steps: int = 20, repeats: int = 3, BT: int = 16, ACC: int = 2)
 
     flops = None
     try:
-        ca = step.lower(state, batch, key).compile().cost_analysis()
+        if ACC > 1:
+            # cost_analysis counts a lax.scan body ONCE, so lowering the
+            # accum step under-counts fwd/bwd by the trip count (the same
+            # pitfall _single_forward documents). Price a grad_accum=1
+            # step at the micro-batch and scale: flops ≈ ACC * f1 (this
+            # over-counts the once-per-step AdamW by ACC-1, which is
+            # negligible next to fwd/bwd).
+            import dataclasses as _dc
+            cfg1 = _dc.replace(cfg, grad_accum=1)
+            step1 = make_train_step(model, cfg1, donate=False)
+            batch1 = jax.tree_util.tree_map(lambda x: x[0], batch)
+            ca = step1.lower(state, batch1, key).compile().cost_analysis()
+        else:
+            ca = step.lower(state, batch, key).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca["flops"])
+        flops = float(ca["flops"]) * (ACC if ACC > 1 else 1)
     except Exception:
         pass
 
@@ -545,8 +566,13 @@ def main():
         f"int8 serving numerics regression: prob delta {int8_prob_delta:.5f} "
         f"> {INT8_PROB_DELTA_MAX} vs bf16 (random-init weights)")
 
+    # bf16 continuity metric: keep LT=128 (the rounds-1/2 measurement
+    # condition) so the key stays comparable across rounds — the serving
+    # text buckets would otherwise fold a 4x-shorter BERT into what reads
+    # as a bf16-path change (review finding, round 3c)
     fn5 = e2e_fn(ITERS)
-    args5 = (P16, wavs5, ones(t5), ids5, ones(lt5))
+    ids128 = jnp.asarray(rng.integers(0, 30000, size=(B, LT)).astype(np.int32))
+    args5 = (P16, wavs5, ones(t5), ids128, ones(LT))
     float(fn5(*args5))
     bf16_best = float("inf")
     for _ in range(REPEATS):

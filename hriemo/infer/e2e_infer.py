@@ -28,10 +28,13 @@ def parse_args(argv=None):
     ap.add_argument("--audio_col", type=str, default="audio_path")
     ap.add_argument("--text_col", type=str, default="text")
     ap.add_argument("--uid_col", type=str, default=None)
+    from .streaming import MEASURED_BUCKET_BATCH
+    _mbb = "/".join(str(MEASURED_BUCKET_BATCH[s])
+                    for s in sorted(MEASURED_BUCKET_BATCH))
     ap.add_argument("--batch_size", type=int, default=None,
                     help="host batch size. Default: the bucket scheduler "
                          "uses each bucket's measured-optimal batch "
-                         "(256/256/128/128) uncapped; the 'batch' "
+                         f"({_mbb}) uncapped; the 'batch' "
                          "scheduler uses 16. Pass explicitly to cap both.")
     ap.add_argument("--max_seconds", type=float, default=10.0)
     ap.add_argument("--bucket_seconds", type=float, nargs="+",

@@ -185,7 +185,14 @@ class StreamingPipeline:
             wmask = np.zeros((b, t_max), np.int32)
             for i, w in enumerate(waveforms):
                 n = min(len(w), t_max)
-                wavs[i, :n] = w[:n]
+                if w.dtype == np.int16:
+                    # int16 PCM source (the pcm16 transport's native
+                    # input): scale to [-1, 1) so both transports share
+                    # one input contract — without this an int16 clip
+                    # would silently enter the model 32768x too large
+                    wavs[i, :n] = w[:n].astype(np.float32) * (1.0 / 32768.0)
+                else:
+                    wavs[i, :n] = w[:n]
                 wmask[i, :n] = 1
 
         if self.tokenizer is not None:

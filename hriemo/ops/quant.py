@@ -353,10 +353,11 @@ def int8_numerics_report(apply_fn, params, args, envelope: float = 0.005,
     ``apply_fn(params, *args) -> dict[str, array]`` (e.g. ``{"probs": ...,
     "beta": ...}``) must run EAGERLY (un-jitted) so the activation
     collector sees concrete values. The first output key gates the
-    envelope. Mitigation: greedily revert the layer with the worst
-    activation ``outlier_ratio`` to bf16 (selective-bf16 — the standard
-    W8A8 mitigation) until the gated delta is within ``envelope`` or
-    ``max_reverts`` layers have been reverted.
+    envelope. Mitigation: greedily revert the worst-outlier layer to
+    bf16 (selective-bf16 — the standard W8A8 mitigation), ranked by
+    ``crest_p90`` (per-row channel domination — what actually breaks
+    per-row scales) with ``outlier_ratio`` as tie-break, until the gated
+    delta is within ``envelope`` or ``max_reverts`` layers are reverted.
 
     Returns a dict with per-layer activation stats, per-output deltas for
     the full-int8 tree, the reverted layer list, and final deltas.
@@ -392,7 +393,8 @@ def int8_numerics_report(apply_fn, params, args, envelope: float = 0.005,
     if report["within_envelope"] or not act_stats:
         return report
 
-    # greedy selective-bf16: revert worst outlier_ratio first.
+    # greedy selective-bf16: revert worst-outlier layers first (ranking
+    # below: crest_p90, then outlier_ratio).
     # map activation names back to revertable node paths (strip the
     # in_proj_{q,k,v} suffix for packed MHA)
     def node_path(act_name):

@@ -114,6 +114,12 @@ def test_pcm16_transport_close_to_f32(pipe):
     p_b, _ = pipe.infer(wf, texts)
     np.testing.assert_allclose(p_a, p_b, atol=1e-6)
 
+    # the f32 transport accepts the SAME int16 clips (one input contract
+    # across transports): scaled to [-1, 1), not fed raw — a raw cast
+    # would enter the model 32768x too large (round-3c review finding)
+    p_c, _ = pipe.infer(w16, texts)
+    np.testing.assert_allclose(p_c, p_b, atol=1e-6)
+
     with pytest.raises(ValueError):
         StreamingPipeline(pipe.wavlm, pipe.bert, pipe.fusion,
                           tokenizer=pipe.tokenizer, wav_transport="mp3")

@@ -34,11 +34,10 @@ import jax
 import jax.numpy as jnp
 
 SR, LT = 16_000, 128
-BUCKETS = {2.5: 384, 5.0: 256, 7.5: 128, 10.0: 128}  # bucket s -> product batch
-# serving text bucket per audio bucket (keep in sync with bench.py
-# BUCKET_B/BUCKET_LT: output-exact text-length bucketing, ~3.25 tokens/s
-# of speech + specials; 16-token bucket rides the sub=16 packed kernels)
-BUCKET_LT = {2.5: 16, 5.0: 32, 7.5: 32, 10.0: 64}
+# serving config comes from bench.py — the single source of truth (this
+# tool runs with the repo root on PYTHONPATH, same as its hriemo imports;
+# a local copy drifted once at the 2.5 s 256->384 move)
+from bench import BUCKET_B as BUCKETS, BUCKET_LT  # noqa: E402
 ITERS, REPEATS = 10, 4
 # int8 GEMM pricing: the BEST rate demonstrated IN THIS TREE — the fused
 # FFN kernel's ~190 TF/s effective (this tool's own round-3 run: ideal at

@@ -209,7 +209,8 @@ def int8_report(wavlm_sd, bert_sd, fusion_ckpt: str | None,
         high-magnitude channels inflating per-row scales),
       * max prob/β deltas vs the full-precision reference,
       * the mitigation trace: when the prob delta exceeds ``envelope``,
-        layers are greedily reverted to bf16 (worst outlier_ratio first)
+        layers are greedily reverted to bf16 (worst crest_p90 first,
+        outlier_ratio as tie-break)
         until the delta is back inside the envelope — the reverted list
         IS the serving config change to ship
         (``quantize_tree_for_serving(exclude=...)``).
