@@ -23,6 +23,17 @@ per batch element":
 Per-component time-vs-ceiling budget: PERF.md (tools/perf_budget.py);
 per-kernel on-TPU numerics A/B: tools/kernel_numerics.py.
 
+Round-3d: the 1/sqrt(hd) score scale is folded into the q-projection
+dequant scale+bias in both kernels (bit-exact at hd=64 — 0.125 is a
+power of two and commutes through the bf16 cast; sub-ulp fp32
+reordering at the fusion stack's hd=96). Whole-model A/B
+(.scratch/scalefold_ab.py, real chip): −0.05/+0.74/−0.38/−0.61% per
+bucket — neutral within the 5 s bucket's historical noise; kept
+because it strictly removes a VPU op from the score chain (Mosaic was
+evidently already fusing the scalar multiply — the fold's value is
+robustness to scheduler changes, not measured time). The in-kernel
+multiply survives behind HRIEMO_NO_SCALEFOLD=1 for re-measurement.
+
 One kernel pass per batch element computes the ENTIRE post-norm attention
 sublayer of a WavLM encoder layer:
 
@@ -100,7 +111,8 @@ def _kernel(x_ref, kbias_ref, pos_ref,
             wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
             wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref,
             wg_ref, bg_ref, gconst_ref, lnw_ref, lnb_ref,
-            o_ref, *, n_heads, eps, bpg, hpc):
+            o_ref, *, n_heads, eps, bpg, hpc, scale_folded=True,
+            pipe=False):
     """``bpg`` batch elements per grid step, ``hpc`` heads per GEMM chunk.
 
     The projection GEMMs run on the ROW-STACKED [bpg*Lp, D] block so their
@@ -114,7 +126,10 @@ def _kernel(x_ref, kbias_ref, pos_ref,
     _, lp, d = xs3.shape
     x = xs3.reshape(bpg * lp, d)                         # stacked rows
     hd = d // n_heads
-    scale = 1.0 / math.sqrt(hd)
+    # NOTE: the 1/sqrt(hd) score scale is folded into the q-projection
+    # dequant scale+bias by the wrapper (bit-exact at hd=64: 0.125 is a
+    # power of two, so it commutes through the bf16 cast) — saves one
+    # [Lp,Lp] VPU multiply pass per (elem, head).
 
     xq, xs = _quant_rows(x)
 
@@ -140,20 +155,26 @@ def _kernel(x_ref, kbias_ref, pos_ref,
         for e in range(bpg):
             esl = slice(e * lp, (e + 1) * lp)
             kbias = kbias_ref[e]                         # [1, Lp]
-            for hh in range(hpc):
+
+            def s_for(hh):
+                """Biased scores for local head hh — QK MXU + bias VPU."""
                 h = c * hpc + hh
                 sl = slice(hh * hd, (hh + 1) * hd)
-                qh, kh, vh = qc[esl, sl], kc[esl, sl], vc[esl, sl]  # [Lp, hd]
+                qh, kh = qc[esl, sl], kc[esl, sl]                   # [Lp, hd]
                 gp = gproj[esl, 8 * h:8 * h + 8]                    # [Lp, 8]
                 ga = jax.nn.sigmoid(jnp.sum(gp[:, 0:4], axis=-1, keepdims=True))
                 gb = jax.nn.sigmoid(jnp.sum(gp[:, 4:8], axis=-1, keepdims=True))
                 gate = ga * (gb * gconst_ref[0, h] - 1.0) + 2.0     # [Lp, 1]
-
                 s = jax.lax.dot_general(
                     qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale     # [Lp, Lp]
-                s = s + gate * pos_ref[h].astype(jnp.float32) + kbias
+                    preferred_element_type=jnp.float32)             # [Lp, Lp]
+                if not scale_folded:  # A/B escape hatch (HRIEMO_NO_SCALEFOLD)
+                    s = s * (1.0 / math.sqrt(hd))
+                return s + gate * pos_ref[h].astype(jnp.float32) + kbias
 
+            def pv(s, hh):
+                """softmax (VPU) + PV GEMM for local head hh."""
+                vh = vc[esl, slice(hh * hd, (hh + 1) * hd)]
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
                 l = jnp.sum(p, axis=-1, keepdims=True)
@@ -164,9 +185,24 @@ def _kernel(x_ref, kbias_ref, pos_ref,
                 # (the 10 s number needed a bf16-domain exp: the fp32
                 # deferred variant OOMs scoped VMEM 17.1M/16M at Lp=512).
                 # Mosaic's in-place p/l is effectively free; do not retry.
-                outs[e].append(jax.lax.dot_general(
+                return jax.lax.dot_general(
                     (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+            if pipe:
+                # software-pipelined head loop: issue head hh+1's QK GEMM
+                # before head hh's softmax so the scheduler has MXU work
+                # to overlap with the VPU softmax passes. Costs one extra
+                # live [Lp,Lp] fp32 score buffer.
+                s_prev = s_for(0)
+                for hh in range(1, hpc):
+                    s_cur = s_for(hh)
+                    outs[e].append(pv(s_prev, hh - 1))
+                    s_prev = s_cur
+                outs[e].append(pv(s_prev, hpc - 1))
+            else:
+                for hh in range(hpc):
+                    outs[e].append(pv(s_for(hh), hh))
 
     # [bpg*Lp, D] bf16, rows in the same stacked order as x
     ctx = jnp.concatenate(
@@ -260,6 +296,11 @@ def attention_block_int8(ap, p_ln, x, position_bias, key_padding_bias, eps,
     posp = _pad_axis(_pad_axis(position_bias, 1, 128), 2, 128).astype(jnp.bfloat16)
 
     wq, sq, bq = _wrow(ap["q_proj"])
+    # fold the attention score scale into the q dequant (see _kernel note)
+    scale_folded = os.environ.get("HRIEMO_NO_SCALEFOLD") != "1"
+    if scale_folded:
+        scale = 1.0 / math.sqrt(d // n_heads)
+        sq, bq = sq * scale, bq * scale
     wk, sk, bk = _wrow(ap["k_proj"])
     wv, sv, bv = _wrow(ap["v_proj"])
     wo, so, bo = _wrow(ap["out_proj"])
@@ -276,7 +317,9 @@ def attention_block_int8(ap, p_ln, x, position_bias, key_padding_bias, eps,
     whole = lambda *shape: [pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                          memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
-        functools.partial(_kernel, n_heads=n_heads, eps=eps, bpg=bpg, hpc=hpc),
+        functools.partial(_kernel, n_heads=n_heads, eps=eps, bpg=bpg, hpc=hpc,
+                          scale_folded=scale_folded,
+                          pipe=os.environ.get("HRIEMO_PIPE") == "1"),
         grid=(bp // bpg,),
         in_specs=[
             pl.BlockSpec((bpg, lp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -312,7 +355,7 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
                 sq_ref, sk_ref, sv_ref, so_ref,
                 bq_ref, bk_ref, bv_ref, bo_ref,
                 o_ref, *, n_heads, bpg, hpc, sub: int = 0,
-                subk: int = 0):
+                subk: int = 0, scale_folded=True):
     """Standard MHA sublayer (packed-proj int8): out_proj(attn(xq, xkv)).
 
     The WavLM megakernel minus the gated position bias — shared by the
@@ -335,7 +378,9 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
     xkv = xk3.reshape(bpg * lk, d)
     hd = d // n_heads
     cw = hpc * hd
-    scale = 1.0 / math.sqrt(hd)
+    # 1/sqrt(hd) folded into the q dequant by the wrapper (see the WavLM
+    # kernel note; exact when sqrt(hd) is a power of two, e.g. hd=64, and
+    # a sub-1ulp fp32 reordering otherwise, e.g. the fusion stack's hd=96)
 
     xqq, xqs = _quant_rows(xq)
     xkq, xks = _quant_rows(xkv)
@@ -375,7 +420,9 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
                 qh, kh, vh = qc[qsl, sl], kc[ksl, sl], vc[ksl, sl]
                 s = jax.lax.dot_general(
                     qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale  # [Lqp, Lkp]
+                    preferred_element_type=jnp.float32)          # [Lqp, Lkp]
+                if not scale_folded:  # A/B escape hatch (HRIEMO_NO_SCALEFOLD)
+                    s = s * (1.0 / math.sqrt(hd))
                 s = s + kbias
                 if sub:
                     s = s + bdiag
@@ -565,6 +612,11 @@ def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
                      (bias[i * d:(i + 1) * d].astype(jnp.float32)
                       if bias is not None else zeros)[None, :])
     (wq, sq, bq), (wk, sk, bk), (wv, sv, bv) = seg(0), seg(1), seg(2)
+    # fold the attention score scale into the q dequant (see _mha_kernel)
+    scale_folded = os.environ.get("HRIEMO_NO_SCALEFOLD") != "1"
+    if scale_folded:
+        scale = 1.0 / math.sqrt(d // n_heads)
+        sq, bq = sq * scale, bq * scale
     wo, so, bo = _wrow(params["out_proj"]) if "bias" in params["out_proj"] \
         else (params["out_proj"]["w_int8"].T,
               params["out_proj"]["w_scale"].T.astype(jnp.float32),
@@ -583,7 +635,7 @@ def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
                                          memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
         functools.partial(_mha_kernel, n_heads=n_heads, bpg=bpg, hpc=hpc,
-                          sub=sub, subk=subk),
+                          sub=sub, subk=subk, scale_folded=scale_folded),
         grid=(bp // bpg,),
         in_specs=[
             pl.BlockSpec((bpg, lqp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
