@@ -218,6 +218,23 @@ def _kernel(x_ref, kbias_ref, pos_ref,
     o_ref[:] = y.reshape(bpg, lp, d).astype(o_ref.dtype)
 
 
+def _pipe_default(lp: int) -> bool:
+    """Software-pipelined head loop routing (round-3d, measured e2e on the
+    real chip, .scratch/pipe_ab.py): issuing head h+1's QK GEMM before
+    head h's softmax gives Mosaic MXU work to overlap with the VPU
+    softmax — 2.5 s 110.02 -> 108.55 ms/B384 (-1.3%), 5 s 142.23 ->
+    139.90/B256 (-1.6%), 7.5 s 108.74 -> 108.03/B128 (-0.65%). The extra
+    live [Lp,Lp] fp32 score buffer (1 MB at Lp=512) tips the 10 s
+    bucket's (1,12) schedule over the 16 MB scoped-VMEM cliff
+    (remote-compile failure, reproduced — same cliff the deferred-softmax
+    fp32 variant hit), so the pipeline routes only for Lp <= 384.
+    HRIEMO_PIPE=0/1 overrides for re-measurement."""
+    env = os.environ.get("HRIEMO_PIPE")
+    if env is not None:
+        return env == "1"
+    return lp <= 384
+
+
 def _pad_axis(x, axis, mult, value=0.0):
     p = (-x.shape[axis]) % mult
     if p == 0:
@@ -318,8 +335,7 @@ def attention_block_int8(ap, p_ln, x, position_bias, key_padding_bias, eps,
                                          memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
         functools.partial(_kernel, n_heads=n_heads, eps=eps, bpg=bpg, hpc=hpc,
-                          scale_folded=scale_folded,
-                          pipe=os.environ.get("HRIEMO_PIPE") == "1"),
+                          scale_folded=scale_folded, pipe=_pipe_default(lp)),
         grid=(bp // bpg,),
         in_specs=[
             pl.BlockSpec((bpg, lp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
