@@ -1,5 +1,15 @@
 #!/usr/bin/env python3
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints the headline JSON line as soon as it is
+measured, then an enriched JSON line when the auxiliary blocks finish.
+
+Driver-capture contract (VERDICT r3 #1): stdout carries up to TWO JSON
+lines. Line 1 is the complete headline (metric/value/unit/vs_baseline +
+per-bucket config/spread), flushed immediately after the bucket
+measurements so a driver timeout can never erase the round's number.
+Line 2 repeats every line-1 field plus the time-boxed aux blocks
+(int8 gate, MFU, scheduler-as-served, train, continuity metrics) —
+parsing the LAST JSON line on stdout always yields the richest complete
+artifact available at exit/kill time.
 
 Headline metric = the BASELINE.json north star: **end-to-end IEMOCAP
 utterances/sec/chip including the WavLM + BERT frontends** (waveform +
@@ -48,6 +58,7 @@ reference publishes no wall-clock numbers, SURVEY.md §6).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -55,6 +66,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+T0 = time.perf_counter()  # process-lifetime clock for the time boxes
 NORTH_STAR = 5000.0
 SR = 16_000
 # Round-2 grid search on the int8 path: a 3.75 s bucket costs the same
@@ -116,6 +128,75 @@ SPREAD_TOL = 0.05  # re-sample harder above this; annotate if still above
 # tools/validate_pretrained_bridges.py --int8-report.
 INT8_PROB_DELTA_MAX = 0.006
 V5E_BF16_PEAK = 197e12  # TFLOP/s, bf16 MXU peak per v5e chip
+
+# --- driver-capture hardening (VERDICT r3 missing #1 / weak #1) ---
+# BENCH_r03.json was rc=124/parsed:null: the script printed its single
+# JSON line only after the scheduler+train blocks and the driver's
+# timeout killed it mid-train, erasing EVERY number measured before.
+# Two fixes: (1) a complete, valid headline JSON line is printed —
+# flushed — the moment the bucket measurements are in; the enriched
+# JSON (mfu/scheduler/train/...) follows as a second stdout line when
+# the aux blocks finish, so the driver's "last JSON line" is the richest
+# one available at kill time. (2) every aux block is time-boxed against
+# BUDGET_S: blocks whose estimated cost exceeds the remaining budget are
+# skipped with a note instead of risking the whole artifact.
+BUDGET_S = float(os.environ.get("HRIEMO_BENCH_BUDGET_S", "1500"))  # 25 min
+# estimated aux-block costs over the dev tunnel (stderr timestamps of the
+# r03 run + per-block compile counts); deliberately pessimistic
+AUX_EST_S = {"mfu": 300, "int8_gate": 240, "scheduler": 330, "train": 330,
+             "bf16": 120, "p50": 90, "fusion_only": 60}
+
+
+def _remaining_s() -> float:
+    return BUDGET_S - (time.perf_counter() - T0)
+
+
+def _timebox(out: dict, key: str, fn):
+    """Run aux block ``fn`` if its estimate fits the remaining budget;
+    otherwise record a skip note. Exceptions annotate instead of killing
+    the run (the headline line is already out by the time these run)."""
+    rem = _remaining_s()
+    est = AUX_EST_S[key]
+    if rem < est:
+        out[key] = {"skipped": f"time budget: {rem:.0f}s left < ~{est}s est"}
+        _progress(f"{key} block skipped ({rem:.0f}s left < ~{est}s est)")
+        return
+    _progress(f"starting {key} block ({rem:.0f}s budget left)")
+    try:
+        out[key] = fn()
+    except Exception as e:  # noqa: BLE001 — annotate, keep the artifact
+        out[key] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    _progress(f"{key} block done")
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: bench wall time over the tunnel
+    is dominated by remote compiles (~2-3 min per e2e bucket graph, r03
+    stderr timeline); a warm cache turns repeat runs (and the driver's
+    end-of-round run on the same host) into cache hits."""
+    try:
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   "/tmp/hriemo_xla_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # noqa: BLE001 — cache is best-effort
+        print(f"# compile cache unavailable: {e}", file=sys.stderr)
+
+
+def _attainable_headroom():
+    """Surface tools/perf_budget.py's attainable-headroom statement in the
+    driver artifact (VERDICT r3 next #8) so the gap to the 5,000 north
+    star is self-documenting. Read from the committed perf_budget.json
+    (regenerated on-TPU whenever kernels/routing change; tests guard
+    drift) rather than re-measured here — the budget run is ~15 min."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "perf_budget.json")) as f:
+            pb = json.load(f)
+        return pb.get("attainable_headroom_pct")
+    except Exception:  # noqa: BLE001
+        return None
 
 # Published IEMOCAP duration statistics (Busso et al. 2008): 12h26m over
 # 10,039 turns -> mean 4.46 s; spread ±3.06 s. Lognormal moment match.
@@ -426,6 +507,7 @@ def main():
     from hriemo.frontends import BertConfig, BertEncoder, WavLMConfig, WavLMEncoder
     from hriemo.models import FusionWithEmotionDecoder
 
+    _enable_compile_cache()
     _wait_for_backend()
 
     import dataclasses
@@ -496,7 +578,7 @@ def main():
         except Exception:
             return None
 
-    def measure(batch, seconds, iters=ITERS, params=None, want_flops=True):
+    def measure(batch, seconds, iters=ITERS, params=None, want_flops=False):
         """Returns (best_s, median_s, spread, flops) per batch.
 
         Spread hardening (VERDICT r2 weak #2): when (max-min)/best across
@@ -541,45 +623,6 @@ def main():
                   f"{bucket_stats[sec][0] * 1000:.1f} ms/batch")
     per_utt_s = {sec: s[0] / BUCKET_B[sec] for sec, s in bucket_stats.items()}
 
-    # int8 numerics gate + bf16 reference point (5 s bucket): one extra
-    # timed config and one un-scanned forward per path
-    t5 = int(5.0 * SR)
-    lt5 = BUCKET_LT[5.0]  # serving text bucket at the 5 s config
-    wavs5 = jnp.asarray(rng.standard_normal((B, t5)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
-    ids5 = jnp.asarray(rng.integers(0, 30000, size=(B, lt5)).astype(np.int32))
-    ones = lambda n: jnp.ones((B, n), jnp.int32)
-
-    @jax.jit
-    def _probs(P_, wavs, wmask, ids, tmask):
-        h_a, fmask = wavlm.apply(P_["w"], wavs, wmask)
-        h_t, _ = bert.apply(P_["b"], ids, tmask)
-        logits, _b, _ = fusion.apply(
-            P_["f"], h_a, h_t.astype(h_a.dtype), fmask == 0, tmask == 0)
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-
-    p_int8 = np.asarray(_probs(P, wavs5, ones(t5), ids5, ones(lt5)))
-    p_bf16 = np.asarray(_probs(P16, wavs5, ones(t5), ids5, ones(lt5)))
-    int8_prob_delta = float(np.abs(p_int8 - p_bf16).max())
-    # actually GATE the numerics (advisor r2): a silent int8 regression
-    # must fail the bench, not just annotate the JSON
-    assert int8_prob_delta <= INT8_PROB_DELTA_MAX, (
-        f"int8 serving numerics regression: prob delta {int8_prob_delta:.5f} "
-        f"> {INT8_PROB_DELTA_MAX} vs bf16 (random-init weights)")
-
-    # bf16 continuity metric: keep LT=128 (the rounds-1/2 measurement
-    # condition) so the key stays comparable across rounds — the serving
-    # text buckets would otherwise fold a 4x-shorter BERT into what reads
-    # as a bf16-path change (review finding, round 3c)
-    fn5 = e2e_fn(ITERS)
-    ids128 = jnp.asarray(rng.integers(0, 30000, size=(B, LT)).astype(np.int32))
-    args5 = (P16, wavs5, ones(t5), ids128, ones(LT))
-    float(fn5(*args5))
-    bf16_best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(fn5(*args5))
-        bf16_best = min(bf16_best, (time.perf_counter() - t0) / ITERS)
-
     # weight by the realistic duration mix
     durations = _duration_mix()
     bucket_of = np.searchsorted(np.asarray(BUCKETS_S), durations)
@@ -589,50 +632,12 @@ def main():
     )
     e2e_utt_per_sec = len(durations) / total_time
 
-    # p50 per-clip latency: single clip at the median bucket, served bf16
-    # (measured: int8 at B=1 is LAUNCH/VPU-bound and slower — 6.0 vs 3.7 ms;
-    # the serving tier picks precision per batch regime: int8 for
-    # throughput batches, bf16 for latency-sensitive singles)
-    median_bucket = BUCKETS_S[int(np.searchsorted(BUCKETS_S, np.median(durations)))]
-    p50_latency_ms = measure(1, median_bucket, iters=20, params=P16,
-                             want_flops=False)[0] * 1000
-
-    # fusion-only continuity metric (precomputed features path)
-    la = 499
-    h_a = jnp.asarray(rng.standard_normal((B, la, 768)).astype(np.float32)).astype(jnp.bfloat16)
-    h_t = jnp.asarray(rng.standard_normal((B, LT, 768)).astype(np.float32)).astype(jnp.bfloat16)
-    mask_a = jnp.asarray(np.arange(la)[None, :] >= rng.integers(la // 2, la + 1, size=B)[:, None])
-    mask_t = jnp.asarray(np.arange(LT)[None, :] >= rng.integers(LT // 2, LT + 1, size=B)[:, None])
-
-    @jax.jit
-    def fusion_fn(p, h_a, h_t, mask_a, mask_t):
-        def body(c, _):
-            # both modalities loop-variant (anti-hoisting, see e2e body)
-            logits, _b, _ = fusion.apply(p, h_a + c, h_t + c, mask_a, mask_t)
-            return (jnp.mean(logits.astype(jnp.float32)) * 1e-12).astype(h_a.dtype), None
-        c, _ = jax.lax.scan(body, jnp.zeros((), h_a.dtype), None, length=30)
-        return c
-
-    float(fusion_fn(P["f"], h_a, h_t, mask_a, mask_t))
-    best = float("inf")
-    for _ in range(REPEATS):  # best-of-N over the flaky tunnel (CLAUDE.md)
-        t0 = time.perf_counter()
-        float(fusion_fn(P["f"], h_a, h_t, mask_a, mask_t))
-        best = min(best, time.perf_counter() - t0)
-    fusion_utt_per_sec = B * 30 / best
-
-    mfu = {
-        str(sec): round(flops / t_s / V5E_BF16_PEAK, 3)
-        for sec, (t_s, _, _, flops) in bucket_stats.items() if flops
-    }
     spreads = {str(sec): round(s[2], 3) for sec, s in bucket_stats.items()}
     out = {
         "metric": "iemocap_e2e_utterances_per_sec_per_chip_incl_frontends",
         "value": round(e2e_utt_per_sec, 1),
         "unit": "utterances/sec/chip",
         "vs_baseline": round(e2e_utt_per_sec / NORTH_STAR, 3),
-        "p50_ms_per_clip": round(p50_latency_ms, 1),
-        "fusion_only_utt_per_sec": round(fusion_utt_per_sec, 1),
         "bucket_cfg": {str(sec): {
             "batch": BUCKET_B[sec],
             "ms_per_batch": round(bucket_stats[sec][0] * 1000, 1),
@@ -642,15 +647,7 @@ def main():
         "serving_precision": ("int8 W8A8 end-to-end: Pallas attention-sublayer "
                               "megakernels (WavLM gated + generic MHA) + fused "
                               "FFN; bf16 LN/softmax/residuals"),
-        "int8_prob_delta": round(int8_prob_delta, 5),
-        "int8_prob_delta_note": (f"gated <= {INT8_PROB_DELTA_MAX} (bench asserts); "
-                                 "measured on random-init weights — real-weight "
-                                 "outlier check: tools/validate_pretrained_bridges"
-                                 ".py --int8-report"),
-        "bf16_ms_per_batch64_5s": round(bf16_best * 1000, 1),
         "spread": spreads,
-        "mfu": mfu,
-        "mfu_note": f"compiled-HLO FLOPs / time / v5e bf16 peak ({V5E_BF16_PEAK/1e12:.0f} TF/s)",
         "timing": (f"best-of-{REPEATS}, {ITERS} iters per sample inside one "
                    f"jitted scan; buckets over {SPREAD_TOL:.0%} spread re-run "
                    f"at {2*REPEATS}x{2*ITERS}; median reported alongside best"),
@@ -658,24 +655,150 @@ def main():
         "text_mix": TEXT_MIX_NOTE,
         "text_buckets": {str(sec): BUCKET_LT[sec] for sec in BUCKETS_S},
     }
+    headroom = _attainable_headroom()
+    if headroom is not None:
+        out["attainable_headroom_pct"] = headroom
+        out["attainable_headroom_note"] = (
+            "from tools/perf_budget.py (committed perf_budget.json): e2e gap "
+            "vs GEMM ideal net of priced structural floors — see PERF.md")
     warn = {k: v for k, v in spreads.items() if v > SPREAD_TOL}
     if warn:
         out["spread_warning"] = warn
-    # The headline is measured by here; a tunnel transient in the two
-    # auxiliary blocks must not crash the whole run (the driver records
-    # this script's single JSON line — all-or-nothing otherwise).
-    _progress(f"headline {out['value']} utt/s — starting scheduler block")
-    try:
-        out["scheduler"] = bench_scheduler(
-            wavlm, bert, fusion, bucket_stats, rng)
-    except Exception as e:  # noqa: BLE001 — annotate, keep the headline
-        out["scheduler"] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
-    _progress("scheduler block done — starting train block")
-    try:
-        out["train"] = bench_train()
-    except Exception as e:  # noqa: BLE001
-        out["train"] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
-    print(json.dumps(out))
+
+    # The headline is complete here — print it NOW (flushed) so a driver
+    # timeout during the aux blocks can never erase the round's number
+    # again (BENCH_r03 was rc=124/parsed:null). The enriched JSON follows
+    # as a second line; the driver keeps whichever line(s) it got.
+    print(json.dumps(out), flush=True)
+    _progress(f"headline {out['value']} utt/s — JSON line 1 emitted "
+              f"({_remaining_s():.0f}s budget left); starting aux blocks")
+
+    # --- time-boxed auxiliary blocks (most valuable first) ---
+
+    def _aux_int8_gate():
+        # int8 numerics gate: one un-scanned forward per precision path
+        t5 = int(5.0 * SR)
+        lt5 = BUCKET_LT[5.0]  # serving text bucket at the 5 s config
+        wavs5 = jnp.asarray(rng.standard_normal((B, t5)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+        ids5 = jnp.asarray(rng.integers(0, 30000, size=(B, lt5)).astype(np.int32))
+        ones = lambda n: jnp.ones((B, n), jnp.int32)
+
+        @jax.jit
+        def _probs(P_, wavs, wmask, ids, tmask):
+            h_a, fmask = wavlm.apply(P_["w"], wavs, wmask)
+            h_t, _ = bert.apply(P_["b"], ids, tmask)
+            logits, _b, _ = fusion.apply(
+                P_["f"], h_a, h_t.astype(h_a.dtype), fmask == 0, tmask == 0)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        p_int8 = np.asarray(_probs(P, wavs5, ones(t5), ids5, ones(lt5)))
+        p_bf16 = np.asarray(_probs(P16, wavs5, ones(t5), ids5, ones(lt5)))
+        delta = float(np.abs(p_int8 - p_bf16).max())
+        return {
+            "int8_prob_delta": round(delta, 5),
+            "int8_prob_delta_note": (
+                f"gated <= {INT8_PROB_DELTA_MAX} (bench fails if exceeded); "
+                "measured on random-init weights — real-weight outlier check: "
+                "tools/validate_pretrained_bridges.py --int8-report"),
+        }
+
+    def _aux_mfu():
+        # per-bucket MFU from the compiled single-forward HLO (one extra
+        # remote compile per bucket shape — hence its own time box)
+        mfu = {}
+        for sec in BUCKETS_S:
+            batch, t = BUCKET_B[sec], int(sec * SR)
+            lt = BUCKET_LT.get(sec, LT)
+            wavs = jnp.asarray(rng.standard_normal((batch, t)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+            ids = jnp.asarray(rng.integers(0, 30000, size=(batch, lt)).astype(np.int32))
+            flops = _cost_flops((P, wavs, jnp.ones((batch, t), jnp.int32),
+                                 ids, jnp.ones((batch, lt), jnp.int32)))
+            if flops:
+                mfu[str(sec)] = round(flops / bucket_stats[sec][0] / V5E_BF16_PEAK, 3)
+        return mfu
+
+    def _aux_bf16():
+        # bf16 continuity metric: keep LT=128 (the rounds-1/2 measurement
+        # condition) so the key stays comparable across rounds — the
+        # serving text buckets would otherwise fold a 4x-shorter BERT into
+        # what reads as a bf16-path change (review finding, round 3c)
+        t5 = int(5.0 * SR)
+        wavs5 = jnp.asarray(rng.standard_normal((B, t5)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+        ids128 = jnp.asarray(rng.integers(0, 30000, size=(B, LT)).astype(np.int32))
+        ones = lambda n: jnp.ones((B, n), jnp.int32)
+        fn5 = e2e_fn(ITERS)
+        args5 = (P16, wavs5, ones(t5), ids128, ones(LT))
+        float(fn5(*args5))
+        bf16_best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(fn5(*args5))
+            bf16_best = min(bf16_best, (time.perf_counter() - t0) / ITERS)
+        return round(bf16_best * 1000, 1)
+
+    def _aux_p50():
+        # p50 per-clip latency: single clip at the median bucket, served
+        # bf16 (measured: int8 at B=1 is LAUNCH/VPU-bound and slower —
+        # 6.0 vs 3.7 ms; the serving tier picks precision per batch
+        # regime: int8 for throughput batches, bf16 for latency singles)
+        median_bucket = BUCKETS_S[int(np.searchsorted(BUCKETS_S, np.median(durations)))]
+        return round(measure(1, median_bucket, iters=20, params=P16)[0] * 1000, 1)
+
+    def _aux_fusion_only():
+        # fusion-only continuity metric (precomputed features path)
+        la = 499
+        h_a = jnp.asarray(rng.standard_normal((B, la, 768)).astype(np.float32)).astype(jnp.bfloat16)
+        h_t = jnp.asarray(rng.standard_normal((B, LT, 768)).astype(np.float32)).astype(jnp.bfloat16)
+        mask_a = jnp.asarray(np.arange(la)[None, :] >= rng.integers(la // 2, la + 1, size=B)[:, None])
+        mask_t = jnp.asarray(np.arange(LT)[None, :] >= rng.integers(LT // 2, LT + 1, size=B)[:, None])
+
+        @jax.jit
+        def fusion_fn(p, h_a, h_t, mask_a, mask_t):
+            def body(c, _):
+                # both modalities loop-variant (anti-hoisting, see e2e body)
+                logits, _b, _ = fusion.apply(p, h_a + c, h_t + c, mask_a, mask_t)
+                return (jnp.mean(logits.astype(jnp.float32)) * 1e-12).astype(h_a.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), h_a.dtype), None, length=30)
+            return c
+
+        float(fusion_fn(P["f"], h_a, h_t, mask_a, mask_t))
+        best = float("inf")
+        for _ in range(REPEATS):  # best-of-N over the flaky tunnel
+            t0 = time.perf_counter()
+            float(fusion_fn(P["f"], h_a, h_t, mask_a, mask_t))
+            best = min(best, time.perf_counter() - t0)
+        return round(B * 30 / best, 1)
+
+    _timebox(out, "int8", _aux_int8_gate)
+    _timebox(out, "mfu", _aux_mfu)
+    _timebox(out, "scheduler",
+             lambda: bench_scheduler(wavlm, bert, fusion, bucket_stats, rng))
+    _timebox(out, "train", bench_train)
+    _timebox(out, "bf16_ms_per_batch64_5s", _aux_bf16)
+    _timebox(out, "p50_ms_per_clip", _aux_p50)
+    _timebox(out, "fusion_only_utt_per_sec", _aux_fusion_only)
+
+    # flatten the int8-gate fields to their historical top-level names
+    gate_failed = None
+    int8_res = out.pop("int8", None)
+    if isinstance(int8_res, dict) and "int8_prob_delta" in int8_res:
+        out.update(int8_res)
+        if out["int8_prob_delta"] > INT8_PROB_DELTA_MAX:
+            gate_failed = (
+                f"int8 serving numerics regression: prob delta "
+                f"{out['int8_prob_delta']:.5f} > {INT8_PROB_DELTA_MAX} vs "
+                f"bf16 (random-init weights)")
+            out["int8_gate_failed"] = gate_failed
+    elif int8_res is not None:
+        out["int8_gate"] = int8_res  # skip/error note
+    if "mfu" in out and isinstance(out["mfu"], dict) and \
+            "skipped" not in out["mfu"] and "error" not in out["mfu"]:
+        out["mfu_note"] = (f"compiled-HLO FLOPs / time / v5e bf16 peak "
+                           f"({V5E_BF16_PEAK/1e12:.0f} TF/s)")
+
+    print(json.dumps(out), flush=True)
+    if gate_failed:  # fail loudly AFTER the artifact is out (advisor r2)
+        raise AssertionError(gate_failed)
 
 
 if __name__ == "__main__":
