@@ -25,8 +25,10 @@ per-kernel on-TPU numerics A/B: tools/kernel_numerics.py.
 
 Round-3d: the 1/sqrt(hd) score scale is folded into the q-projection
 dequant scale+bias in both kernels (bit-exact at hd=64 — 0.125 is a
-power of two and commutes through the bf16 cast; sub-ulp fp32
-reordering at the fusion stack's hd=96). Whole-model A/B
+power of two and commutes through the bf16 cast; at hd!=64, e.g. the
+fusion stack's hd=96, the fold moves the multiply ACROSS the bf16 cast
+of q, a bf16-rounding-level difference ~2^-9 relative — advisor r3,
+well inside the int8 path's numerics envelope). Whole-model A/B
 (.scratch/scalefold_ab.py, real chip): −0.05/+0.74/−0.38/−0.61% per
 bucket — neutral within the 5 s bucket's historical noise; kept
 because it strictly removes a VPU op from the score chain (Mosaic was
@@ -156,21 +158,27 @@ def _kernel(x_ref, kbias_ref, pos_ref,
             esl = slice(e * lp, (e + 1) * lp)
             kbias = kbias_ref[e]                         # [1, Lp]
 
-            def s_for(hh):
-                """Biased scores for local head hh — QK MXU + bias VPU."""
+            def s_for(hh, r=0, nc=1):
+                """Biased scores for local head hh — QK MXU + bias VPU.
+
+                ``r``/``nc``: query-row chunk r of nc within the element
+                (the row-chunked pipeline's unit; nc=1 = all rows)."""
                 h = c * hpc + hh
                 sl = slice(hh * hd, (hh + 1) * hd)
-                qh, kh = qc[esl, sl], kc[esl, sl]                   # [Lp, hd]
-                gp = gproj[esl, 8 * h:8 * h + 8]                    # [Lp, 8]
+                rw = lp // nc
+                rsl = slice(e * lp + r * rw, e * lp + (r + 1) * rw)
+                qh, kh = qc[rsl, sl], kc[esl, sl]          # [rw,hd], [Lp,hd]
+                gp = gproj[rsl, 8 * h:8 * h + 8]                    # [rw, 8]
                 ga = jax.nn.sigmoid(jnp.sum(gp[:, 0:4], axis=-1, keepdims=True))
                 gb = jax.nn.sigmoid(jnp.sum(gp[:, 4:8], axis=-1, keepdims=True))
-                gate = ga * (gb * gconst_ref[0, h] - 1.0) + 2.0     # [Lp, 1]
+                gate = ga * (gb * gconst_ref[0, h] - 1.0) + 2.0     # [rw, 1]
                 s = jax.lax.dot_general(
                     qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)             # [Lp, Lp]
+                    preferred_element_type=jnp.float32)             # [rw, Lp]
                 if not scale_folded:  # A/B escape hatch (HRIEMO_NO_SCALEFOLD)
                     s = s * (1.0 / math.sqrt(hd))
-                return s + gate * pos_ref[h].astype(jnp.float32) + kbias
+                pos = pos_ref[h, r * rw:(r + 1) * rw, :].astype(jnp.float32)
+                return s + gate * pos + kbias
 
             def pv(s, hh):
                 """softmax (VPU) + PV GEMM for local head hh."""
@@ -189,7 +197,26 @@ def _kernel(x_ref, kbias_ref, pos_ref,
                     (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-            if pipe:
+            if pipe == "chunk":
+                # row-chunked software pipeline (round 4): same MXU/VPU
+                # overlap as "full", but scores are produced in lp//nc
+                # query-row chunks so the TWO live fp32 score buffers
+                # together equal ONE full [Lp,Lp] buffer — the non-pipe
+                # peak. This is what lets the Lp=512 (10 s) bucket
+                # pipeline without tipping the 16 MB scoped-VMEM cliff
+                # that the full-row pipe hits there (VERDICT r3 next #2).
+                nc = 2
+                units = [(hh, r) for hh in range(hpc) for r in range(nc)]
+                chunks = [[] for _ in range(hpc)]
+                prev_u, s_prev = units[0], s_for(units[0][0], units[0][1], nc)
+                for u in units[1:]:
+                    s_cur = s_for(u[0], u[1], nc)
+                    chunks[prev_u[0]].append(pv(s_prev, prev_u[0]))
+                    prev_u, s_prev = u, s_cur
+                chunks[prev_u[0]].append(pv(s_prev, prev_u[0]))
+                for hh in range(hpc):
+                    outs[e].append(jnp.concatenate(chunks[hh], axis=0))
+            elif pipe:
                 # software-pipelined head loop: issue head hh+1's QK GEMM
                 # before head hh's softmax so the scheduler has MXU work
                 # to overlap with the VPU softmax passes. Costs one extra
@@ -218,21 +245,33 @@ def _kernel(x_ref, kbias_ref, pos_ref,
     o_ref[:] = y.reshape(bpg, lp, d).astype(o_ref.dtype)
 
 
-def _pipe_default(lp: int) -> bool:
-    """Software-pipelined head loop routing (round-3d, measured e2e on the
-    real chip, .scratch/pipe_ab.py): issuing head h+1's QK GEMM before
-    head h's softmax gives Mosaic MXU work to overlap with the VPU
-    softmax — 2.5 s 110.02 -> 108.55 ms/B384 (-1.3%), 5 s 142.23 ->
-    139.90/B256 (-1.6%), 7.5 s 108.74 -> 108.03/B128 (-0.65%). The extra
-    live [Lp,Lp] fp32 score buffer (1 MB at Lp=512) tips the 10 s
-    bucket's (1,12) schedule over the 16 MB scoped-VMEM cliff
-    (remote-compile failure, reproduced — same cliff the deferred-softmax
-    fp32 variant hit), so the pipeline routes only for Lp <= 384.
-    HRIEMO_PIPE=0/1 overrides for re-measurement."""
+def _pipe_default(lp: int):
+    """Software-pipelined head loop routing — False, "full", or "chunk".
+
+    "full" (round-3d, measured e2e on the real chip, .scratch/pipe_ab.py):
+    issuing head h+1's QK GEMM before head h's softmax gives Mosaic MXU
+    work to overlap with the VPU softmax — 2.5 s 110.02 -> 108.55 ms/B384
+    (-1.3%), 5 s 142.23 -> 139.90/B256 (-1.6%), 7.5 s 108.74 ->
+    108.03/B128 (-0.65%). Its extra live [Lp,Lp] fp32 score buffer (1 MB
+    at Lp=512) tips the 10 s bucket's (1,12) schedule over the 16 MB
+    scoped-VMEM cliff (remote-compile failure, reproduced — same cliff
+    the deferred-softmax fp32 variant hit), so "full" routes Lp <= 384.
+
+    "chunk" (round 4, VERDICT r3 next #2): the same pipeline at
+    half-row granularity — scores land in [Lp/2, Lp] chunks, so the two
+    live buffers together equal the non-pipe peak and Lp=512 compiles.
+    Routing below reflects the current whole-model A/B record (updated
+    whenever .scratch/pipe512_ab.py is re-run on the real chip);
+    HRIEMO_PIPE=0/1/2 forces off/full/chunk for re-measurement.
+
+    NOTE: read at TRACE time — a jitted caller bakes the mode into its
+    cached trace, so toggling the env var mid-process has no effect on
+    already-compiled graphs (restart, or call with fresh shapes, to
+    re-measure; same semantics as every HRIEMO_* routing knob)."""
     env = os.environ.get("HRIEMO_PIPE")
     if env is not None:
-        return env == "1"
-    return lp <= 384
+        return {"1": "full", "2": "chunk"}.get(env, False)
+    return "full" if lp <= 384 else False
 
 
 def _pad_axis(x, axis, mult, value=0.0):
@@ -313,7 +352,9 @@ def attention_block_int8(ap, p_ln, x, position_bias, key_padding_bias, eps,
     posp = _pad_axis(_pad_axis(position_bias, 1, 128), 2, 128).astype(jnp.bfloat16)
 
     wq, sq, bq = _wrow(ap["q_proj"])
-    # fold the attention score scale into the q dequant (see _kernel note)
+    # fold the attention score scale into the q dequant (see _kernel note).
+    # Read at TRACE time: jitted callers bake the choice into their cached
+    # trace — restart (or use fresh shapes) to re-measure (advisor r3).
     scale_folded = os.environ.get("HRIEMO_NO_SCALEFOLD") != "1"
     if scale_folded:
         scale = 1.0 / math.sqrt(d // n_heads)
@@ -395,8 +436,10 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
     hd = d // n_heads
     cw = hpc * hd
     # 1/sqrt(hd) folded into the q dequant by the wrapper (see the WavLM
-    # kernel note; exact when sqrt(hd) is a power of two, e.g. hd=64, and
-    # a sub-1ulp fp32 reordering otherwise, e.g. the fusion stack's hd=96)
+    # kernel note; bit-exact when the scale is a power of two, e.g.
+    # hd=64's 0.125 — otherwise, e.g. the fusion stack's hd=96, the fold
+    # crosses the bf16 cast of q and perturbs it at bf16-ulp magnitude,
+    # ~2^-9 relative; advisor r3)
 
     xqq, xqs = _quant_rows(xq)
     xkq, xks = _quant_rows(xkv)
@@ -628,7 +671,8 @@ def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
                      (bias[i * d:(i + 1) * d].astype(jnp.float32)
                       if bias is not None else zeros)[None, :])
     (wq, sq, bq), (wk, sk, bk), (wv, sv, bv) = seg(0), seg(1), seg(2)
-    # fold the attention score scale into the q dequant (see _mha_kernel)
+    # fold the attention score scale into the q dequant (see _mha_kernel).
+    # Trace-time read — restart-required for jitted callers (advisor r3).
     scale_folded = os.environ.get("HRIEMO_NO_SCALEFOLD") != "1"
     if scale_folded:
         scale = 1.0 / math.sqrt(d // n_heads)

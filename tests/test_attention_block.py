@@ -90,7 +90,18 @@ def setup():
     return apq, p_ln, x, pos, kpb, lens
 
 
-def test_matches_per_op_int8_route(setup):
+@pytest.mark.parametrize("pipe", ["0", "1", "2"])
+@pytest.mark.parametrize("scalefold", [None, "1"])
+def test_matches_per_op_int8_route(setup, monkeypatch, pipe, scalefold):
+    """All kernel routing variants (advisor r3 / VERDICT r3 next #4):
+    HRIEMO_PIPE off/full/chunk x HRIEMO_NO_SCALEFOLD unset/1. The default
+    route differs by Lp (full-pipe at Lp<=384, non-pipe at Lp=512), so
+    every variant must stay pinned to the per-op reference."""
+    monkeypatch.setenv("HRIEMO_PIPE", pipe)
+    if scalefold is None:
+        monkeypatch.delenv("HRIEMO_NO_SCALEFOLD", raising=False)
+    else:
+        monkeypatch.setenv("HRIEMO_NO_SCALEFOLD", scalefold)
     apq, p_ln, x, pos, kpb, lens = setup
     got = attention_block_int8(apq, p_ln, x, pos, kpb, EPS)
     ref = _reference(apq, p_ln, x, pos, kpb)
@@ -102,6 +113,76 @@ def test_matches_per_op_int8_route(setup):
     # quantization math, so only bf16 cast order differs
     diff = np.abs(np.asarray(got[0], np.float32) - np.asarray(ref[0], np.float32))
     assert np.median(diff) < 5e-3, np.median(diff)
+
+
+def test_pipe_variants_agree_across_lp(monkeypatch):
+    """pipe=off == pipe=full == pipe=chunk, at an Lp<=384 shape AND an
+    Lp=512 shape (the 10 s bucket's tile, where the default route is
+    non-pipe and a refactor could silently break the fallback —
+    VERDICT r3 weak #2). The three modes compute identical per-head math
+    in a different issue order, so outputs must agree bitwise."""
+    key = jax.random.key(3)
+    ap, p_ln = _layer_params(key)
+    apq = quantize_tree_for_serving(ap, min_dim=64)
+    rng = np.random.default_rng(11)
+    for l in (96, 400):  # lp = 128 and 512
+        x = jnp.asarray(rng.standard_normal((1, l, D)).astype(np.float32) * 0.5)
+        pos = jnp.asarray(rng.standard_normal((H, l, l)).astype(np.float32) * 0.3)
+        kpb = jnp.where(np.arange(l)[None, :] < l - 9, 0.0, NEG_INF
+                        ).astype(jnp.float32)
+        outs = {}
+        for mode in ("0", "1", "2"):
+            monkeypatch.setenv("HRIEMO_PIPE", mode)
+            outs[mode] = np.asarray(
+                attention_block_int8(apq, p_ln, x, pos, kpb, EPS), np.float32)
+        np.testing.assert_array_equal(outs["0"], outs["1"])
+        np.testing.assert_array_equal(outs["0"], outs["2"])
+
+
+def test_scale_fold_bit_exact_at_hd64(setup, monkeypatch):
+    """The folded 1/sqrt(hd) is claimed bit-exact at hd=64 (0.125 is a
+    power of two: it commutes through the bf16 cast of q and through
+    every fp32 rounding). Pin the claim: folded == unfolded bitwise on
+    the hd=64 WavLM kernel; the mha kernel likewise at hd=64."""
+    from hriemo.nn.attention import mha_init
+    from hriemo.ops.attention_block import mha_block_int8
+
+    apq, p_ln, x, pos, kpb, lens = setup  # D=256, H=4 -> hd=64
+    monkeypatch.delenv("HRIEMO_NO_SCALEFOLD", raising=False)
+    folded = np.asarray(attention_block_int8(apq, p_ln, x, pos, kpb, EPS))
+    monkeypatch.setenv("HRIEMO_NO_SCALEFOLD", "1")
+    unfolded = np.asarray(attention_block_int8(apq, p_ln, x, pos, kpb, EPS))
+    np.testing.assert_array_equal(folded, unfolded)
+
+    d, h = 256, 4  # hd=64
+    params = quantize_tree_for_serving(mha_init(jax.random.key(6), d),
+                                       min_dim=128)
+    rng = np.random.default_rng(13)
+    xq = jnp.asarray(rng.standard_normal((2, 96, d)).astype(np.float32) * 0.5)
+    monkeypatch.setenv("HRIEMO_NO_SCALEFOLD", "1")
+    m_unf = np.asarray(mha_block_int8(params, xq, xq, None, h))
+    monkeypatch.delenv("HRIEMO_NO_SCALEFOLD", raising=False)
+    m_fold = np.asarray(mha_block_int8(params, xq, xq, None, h))
+    np.testing.assert_array_equal(m_fold, m_unf)
+
+
+def test_scale_fold_hd96_within_bf16_rounding(monkeypatch):
+    """At hd!=64 the fold crosses the bf16 cast of q (advisor r3): the
+    difference must be bf16-rounding-level, not larger."""
+    from hriemo.nn.attention import mha_init
+    from hriemo.ops.attention_block import mha_block_int8
+
+    d, h = 384, 4  # hd=96 — the fusion stack's head width
+    params = quantize_tree_for_serving(mha_init(jax.random.key(7), d),
+                                       min_dim=128)
+    rng = np.random.default_rng(17)
+    xq = jnp.asarray(rng.standard_normal((2, 50, d)).astype(np.float32) * 0.5)
+    monkeypatch.setenv("HRIEMO_NO_SCALEFOLD", "1")
+    unf = np.asarray(mha_block_int8(params, xq, xq, None, h), np.float32)
+    monkeypatch.delenv("HRIEMO_NO_SCALEFOLD", raising=False)
+    fold = np.asarray(mha_block_int8(params, xq, xq, None, h), np.float32)
+    np.testing.assert_allclose(fold, unf, atol=2e-2, rtol=2e-2)
+    assert np.median(np.abs(fold - unf)) < 2e-3
 
 
 def test_masked_keys_do_not_leak(setup):
