@@ -111,8 +111,13 @@ def check_mha_block(rng, results):
                           # text-side sublayers at 16/32/64 tokens
                           (16, 16, "self L=16"), (32, 32, "self L=32"),
                           (64, 64, "self L=64"),
-                          (499, 32, "cross 499x32"), (32, 499, "cross 32x499"),
-                          (16, 499, "cross 16x499")]:
+                          # cross-modal a<->t at the max frame count x every
+                          # text bucket (round 4: tests/test_kernel_numerics_
+                          # drift.py requires BOTH directions per bucket)
+                          (499, 16, "cross 499x16"),
+                          (499, 32, "cross 499x32"), (499, 64, "cross 499x64"),
+                          (16, 499, "cross 16x499"), (32, 499, "cross 32x499"),
+                          (64, 499, "cross 64x499")]:
         xq = jnp.asarray(rng.standard_normal((B, lq, d_model)).astype(np.float32)
                          * 0.5).astype(jnp.bfloat16)
         xkv = xq if lq == lk else jnp.asarray(
