@@ -260,8 +260,13 @@ def _pipe_default(lp: int):
     "chunk" (round 4, VERDICT r3 next #2): the same pipeline at
     half-row granularity — scores land in [Lp/2, Lp] chunks, so the two
     live buffers together equal the non-pipe peak and Lp=512 compiles.
-    Routing below reflects the current whole-model A/B record (updated
-    whenever .scratch/pipe512_ab.py is re-run on the real chip);
+    Measured LOSING whole-model on the real chip (.scratch/pipe512_ab.py,
+    B=128): 10 s 145.16 (nopipe) -> 146.03 ms (+0.60%), 7.5 s 108.08
+    (full) -> 108.41 (+0.30%) — the halved-M QK/PV GEMMs and doubled
+    gate/bias/pos passes cost more than the extra MXU/VPU overlap buys,
+    so the 10 s bucket keeps the unpipelined loop and Lp<=384 keeps
+    "full". Kept in-tree (exact; pinned bitwise by
+    tests/test_attention_block.py) as the measured record;
     HRIEMO_PIPE=0/1/2 forces off/full/chunk for re-measurement.
 
     NOTE: read at TRACE time — a jitted caller bakes the mode into its
@@ -768,5 +773,9 @@ def use_attention_block(params, l: int, d: int) -> bool:
         and "w_int8" in params.get("q_proj", {})
         and "w_int8" in params.get("out_proj", {})
         and d % 128 == 0
-        and 64 <= l <= 1024  # 2.5 s bucket is L=124 (e2e 32.5 -> 31.6 ms)
+        # 2.5 s bucket is L=124 (e2e 32.5 -> 31.6 ms); the 1.25 s fine
+        # bucket (round 4 conv sub-bucketing) is L=62 — it pads to the
+        # same 128-row tile as L=124, so the kernel-vs-XLA tradeoff is
+        # identical and the gate admits it
+        and 48 <= l <= 1024
     )
