@@ -91,8 +91,22 @@ SR = 16_000
 # (.scratch/batch_sweep_r3d.py): 5 s stays 256 (0.5530 vs 0.5549@384,
 # 0.5615@512), 7.5 s stays 128 (0.8518 vs 0.8720@192, 0.8633@256),
 # 10 s stays 128 (1.1416 vs 1.1868@192, 1.1494@256).
-BUCKETS_S = (2.5, 5.0, 7.5, 10.0)
-BUCKET_B = {2.5: 384, 5.0: 256, 7.5: 128, 10.0: 128}
+# Round-4 conv sub-bucketing (VERDICT r3 #3, .scratch/convlen_ab.py):
+# the conv stack (~30% of e2e) runs on waveforms padded to the bucket's
+# seconds while the ENCODER cost quantizes at 128-frame tiles, so each
+# coarse bucket is split in two at the half-bucket duration — the fine
+# bucket shares its sibling's Lp tile and batch and saves only conv
+# time, which measured decisive per-utt on the real chip:
+#   1.25 s 0.2160 vs 2.5 s 0.2840 ms/utt (-24%)   [Lp=128, B=384, lt=16]
+#   3.75 s 0.4678 vs 5.0 s 0.5480       (-14.6%)  [Lp=256, B=256, lt=16]
+#   6.25 s 0.7623 vs 7.5 s 0.8444       (-9.7%)   [Lp=384, B=128]
+#   8.75 s 1.0733 vs 10 s  1.1341       (-5.4%)   [Lp=512, B=128]
+# Mix-weighted: +6.1% headline (1661.9 -> 1763.3 at the same-session
+# coarse numbers). Batches inherited from the tile sibling (the optimum
+# is set by the encoder tile, which is identical).
+BUCKETS_S = (1.25, 2.5, 3.75, 5.0, 6.25, 7.5, 8.75, 10.0)
+BUCKET_B = {1.25: 384, 2.5: 384, 3.75: 256, 5.0: 256,
+            6.25: 128, 7.5: 128, 8.75: 128, 10.0: 128}
 # Text-length buckets (hriemo.infer.streaming text_bucket_tokens):
 # output-EXACT unlike audio buckets (see streaming.py __init__ — BERT is
 # mask-exact and the fused mask ORs the text mask, so rows past the true
@@ -246,7 +260,8 @@ def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
     pipe = StreamingPipeline(
         wavlm, bert, fusion, tokenizer=_HashTokenizer(30522),
         max_seconds=10.0, max_tokens=LT, multi_label=False,
-        bucket_seconds=(2.5, 5.0, 7.5), int8_frontends=True,
+        bucket_seconds=tuple(s for s in BUCKETS_S if s < 10.0),
+        int8_frontends=True,
         wav_transport="pcm16", text_bucket_tokens=TEXT_BUCKETS)
 
     # instrument host work + shipped bytes (prep runs inside the stream

@@ -38,7 +38,9 @@ def parse_args(argv=None):
                          "scheduler uses 16. Pass explicitly to cap both.")
     ap.add_argument("--max_seconds", type=float, default=10.0)
     ap.add_argument("--bucket_seconds", type=float, nargs="+",
-                    default=[2.5, 5.0, 7.5, 10.0])  # every 128-frame tile (see bench.py)
+                    # every 128-frame tile plus the half-bucket conv
+                    # sub-buckets (same tile/batch, shorter conv — bench.py)
+                    default=[1.25, 2.5, 3.75, 5.0, 6.25, 7.5, 8.75, 10.0])
     ap.add_argument("--max_tokens", type=int, default=128)
     ap.add_argument("--text_bucket_tokens", type=int, nargs="*",
                     default=[16, 32, 64],

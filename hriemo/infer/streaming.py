@@ -27,8 +27,13 @@ import jax.numpy as jnp
 # round 3: 2.5 s AND 5 s moved to B=256 with the full-width qkv
 # schedules, and the 7.5 s bucket JOINED the config — the round-2
 # "same tiles" result is obsolete under those schedules (0.948 vs
-# 1.207 ms/utt at 10 s).
-MEASURED_BUCKET_BATCH = {2.5: 384, 5.0: 256, 7.5: 128, 10.0: 128}
+# 1.207 ms/utt at 10 s). Round 4: each coarse bucket split in two at
+# the half-bucket duration (conv sub-bucketing: the fine bucket shares
+# its sibling's encoder tile AND batch, pays half-bucket conv —
+# -5..-24% per-utt measured, +6.1% at the serving mix; bench.py
+# BUCKETS_S comment has the per-bucket A/B numbers).
+MEASURED_BUCKET_BATCH = {1.25: 384, 2.5: 384, 3.75: 256, 5.0: 256,
+                         6.25: 128, 7.5: 128, 8.75: 128, 10.0: 128}
 
 
 class StreamingPipeline:

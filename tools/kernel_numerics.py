@@ -32,8 +32,27 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# product serving shapes: {bucket seconds: WavLM frame count}
-BUCKET_L = {2.5: 124, 5.0: 249, 7.5: 374, 10.0: 499}
+# product serving shapes: {bucket seconds: WavLM frame count} — derived
+# from bench.py's BUCKETS_S (the serving-config single source of truth)
+# so a bucket change here can't silently under-cover; the committed
+# kernel_numerics.json is drift-guarded by tests/test_kernel_numerics_
+# drift.py against the same derivation.
+def _bucket_frames():
+    import bench
+    from hriemo.frontends import WavLMConfig
+
+    cfg = WavLMConfig.base_plus()
+
+    def frames(sec):
+        t = int(sec * 16_000)
+        for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+            t = (t - k) // s + 1
+        return t
+
+    return {sec: frames(sec) for sec in bench.BUCKETS_S}
+
+
+BUCKET_L = _bucket_frames()
 B = 8  # batch for numerics (product batches only repeat the grid)
 THRESH = {  # pass thresholds, mirroring the interpret-mode tests
     "wavlm_attention_block": 0.05,   # bf16 ctx concat vs fp32 chain
@@ -156,7 +175,7 @@ def check_ffn_block(rng, results):
     be = jnp.zeros((d,)) + 0.05
     p_in = quantize_linear_params({"weight": w1, "bias": b1})
     p_out = quantize_linear_params({"weight": w2, "bias": b2})
-    for l in (124, 499):
+    for l in (min(BUCKET_L.values()), max(BUCKET_L.values())):
         x = jnp.asarray(rng.standard_normal((B * l, d)).astype(np.float32)
                         * 0.5).astype(jnp.bfloat16)
         qp = dict(w1_q=p_in["w_int8"].T, w1_s=p_in["w_scale"].T,
