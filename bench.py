@@ -156,9 +156,11 @@ V5E_BF16_PEAK = 197e12  # TFLOP/s, bf16 MXU peak per v5e chip
 # skipped with a note instead of risking the whole artifact.
 BUDGET_S = float(os.environ.get("HRIEMO_BENCH_BUDGET_S", "1500"))  # 25 min
 # estimated aux-block costs over the dev tunnel (stderr timestamps of the
-# r03 run + per-block compile counts); deliberately pessimistic
-AUX_EST_S = {"mfu": 300, "int8_gate": 240, "scheduler": 330, "train": 330,
-             "bf16": 120, "p50": 90, "fusion_only": 60}
+# r03 run + per-block compile counts); deliberately pessimistic. Keys ==
+# the _timebox output-field names in main().
+AUX_EST_S = {"mfu": 300, "int8": 240, "scheduler": 330, "train": 330,
+             "bf16_ms_per_batch64_5s": 120, "p50_ms_per_clip": 90,
+             "fusion_only_utt_per_sec": 60}
 
 
 def _remaining_s() -> float:
@@ -170,7 +172,7 @@ def _timebox(out: dict, key: str, fn):
     otherwise record a skip note. Exceptions annotate instead of killing
     the run (the headline line is already out by the time these run)."""
     rem = _remaining_s()
-    est = AUX_EST_S[key]
+    est = AUX_EST_S.get(key, 120)
     if rem < est:
         out[key] = {"skipped": f"time budget: {rem:.0f}s left < ~{est}s est"}
         _progress(f"{key} block skipped ({rem:.0f}s left < ~{est}s est)")
