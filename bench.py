@@ -104,9 +104,21 @@ SR = 16_000
 # Mix-weighted: +6.1% headline (1661.9 -> 1763.3 at the same-session
 # coarse numbers). Batches inherited from the tile sibling (the optimum
 # is set by the encoder tile, which is identical).
-BUCKETS_S = (1.25, 2.5, 3.75, 5.0, 6.25, 7.5, 8.75, 10.0)
-BUCKET_B = {1.25: 384, 2.5: 384, 3.75: 256, 5.0: 256,
-            6.25: 128, 7.5: 128, 8.75: 128, 10.0: 128}
+# Round-4b quarter-step sweep (.scratch/convlen_q_ab.py, same method):
+# midpoint durations of every half-bucket range, measured per-utt
+#   1.875 0.2580 (-9.2% vs 2.5)   3.125 0.4595 (-1.8% vs 3.75)
+#   4.375 0.5245 (-4.3% vs 5)     5.625 0.7543 (-1.0% vs 6.25)
+#   6.875 0.8039 (-4.8% vs 7.5)   8.125 1.0082 (-6.1% vs 8.75)
+#   9.375 1.1259 (-0.7% vs 10 — DROPPED: +0.3 utt/s at the mix, noise)
+# Shipping the other six: mix-weighted +1.7% on top of the half-bucket
+# split (1763.3 -> 1792.4 at the same-session numbers). Quantized conv
+# tiling makes the gains uneven (3.125/5.625 save little — XLA conv time
+# itself quantizes on T tiles), so eighth-steps are not worth graphs.
+BUCKETS_S = (1.25, 1.875, 2.5, 3.125, 3.75, 4.375, 5.0, 5.625,
+             6.25, 6.875, 7.5, 8.125, 8.75, 10.0)
+BUCKET_B = {1.25: 384, 1.875: 384, 2.5: 384, 3.125: 256, 3.75: 256,
+            4.375: 256, 5.0: 256, 5.625: 128, 6.25: 128, 6.875: 128,
+            7.5: 128, 8.125: 128, 8.75: 128, 10.0: 128}
 # Text-length buckets (hriemo.infer.streaming text_bucket_tokens):
 # output-EXACT unlike audio buckets (see streaming.py __init__ — BERT is
 # mask-exact and the fused mask ORs the text mask, so rows past the true
@@ -236,8 +248,13 @@ def _duration_mix(n=4096, seed=0):
 
 
 def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
-                    n_clips: int = 1536):
+                    n_clips: int = 3072):
     """The serving path AS SERVED (VERDICT r2 missing #4 / next #2).
+
+    n_clips doubled with the round-4 14-bucket config so per-queue fills
+    stay a reasonable fraction of each batch — otherwise the final
+    padded flushes dominate the device budget and the sustained number
+    reads artificially low.
 
     Drives the product scheduler — ``StreamingPipeline.stream_bucketed``
     (int8 tree, per-bucket queues at the measured-optimal batches,

@@ -38,9 +38,10 @@ def parse_args(argv=None):
                          "scheduler uses 16. Pass explicitly to cap both.")
     ap.add_argument("--max_seconds", type=float, default=10.0)
     ap.add_argument("--bucket_seconds", type=float, nargs="+",
-                    # every 128-frame tile plus the half-bucket conv
-                    # sub-buckets (same tile/batch, shorter conv — bench.py)
-                    default=[1.25, 2.5, 3.75, 5.0, 6.25, 7.5, 8.75, 10.0])
+                    # every 128-frame tile plus the conv sub-buckets
+                    # (same tile/batch, shorter conv — bench.py BUCKETS_S)
+                    default=[1.25, 1.875, 2.5, 3.125, 3.75, 4.375, 5.0,
+                             5.625, 6.25, 6.875, 7.5, 8.125, 8.75, 10.0])
     ap.add_argument("--max_tokens", type=int, default=128)
     ap.add_argument("--text_bucket_tokens", type=int, nargs="*",
                     default=[16, 32, 64],

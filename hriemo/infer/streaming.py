@@ -32,8 +32,12 @@ import jax.numpy as jnp
 # its sibling's encoder tile AND batch, pays half-bucket conv —
 # -5..-24% per-utt measured, +6.1% at the serving mix; bench.py
 # BUCKETS_S comment has the per-bucket A/B numbers).
-MEASURED_BUCKET_BATCH = {1.25: 384, 2.5: 384, 3.75: 256, 5.0: 256,
-                         6.25: 128, 7.5: 128, 8.75: 128, 10.0: 128}
+# Round 4b adds the quarter-step midpoints (minus 9.375 s — measured
+# within noise of 10 s): 14 buckets total.
+MEASURED_BUCKET_BATCH = {1.25: 384, 1.875: 384, 2.5: 384, 3.125: 256,
+                         3.75: 256, 4.375: 256, 5.0: 256, 5.625: 128,
+                         6.25: 128, 6.875: 128, 7.5: 128, 8.125: 128,
+                         8.75: 128, 10.0: 128}
 
 
 class StreamingPipeline:
