@@ -86,3 +86,19 @@ def test_covers_ffn_and_decoder_kernels(artifact, serving_cfg):
         assert key in artifact, key
     assert any(k == "flash_mha" for k, _ in artifact)
     assert any(k == "groupnorm_stats" for k, _ in artifact)
+
+
+def test_serving_config_consistent_across_sites(serving_cfg):
+    """The serving bucket list lives in three places a user can reach:
+    bench.py (the measured source of truth), the streaming scheduler's
+    MEASURED_BUCKET_BATCH, and the e2e_infer CLI defaults. They were
+    hand-edited together in round 4 — pin them so they cannot drift."""
+    from hriemo.infer.e2e_infer import parse_args
+    from hriemo.infer.streaming import MEASURED_BUCKET_BATCH
+
+    assert MEASURED_BUCKET_BATCH == serving_cfg.BUCKET_B
+    assert tuple(sorted(MEASURED_BUCKET_BATCH)) == serving_cfg.BUCKETS_S
+
+    args = parse_args(["--index_csv", "unused.csv"])
+    assert tuple(args.bucket_seconds) == serving_cfg.BUCKETS_S
+    assert tuple(args.text_bucket_tokens) == tuple(serving_cfg.TEXT_BUCKETS)
