@@ -102,3 +102,19 @@ def test_serving_config_consistent_across_sites(serving_cfg):
     args = parse_args(["--index_csv", "unused.csv"])
     assert tuple(args.bucket_seconds) == serving_cfg.BUCKETS_S
     assert tuple(args.text_bucket_tokens) == tuple(serving_cfg.TEXT_BUCKETS)
+
+
+def test_bucket_flops_covers_serving_config(serving_cfg):
+    """bench.py's mfu block reads committed per-bucket FLOPs
+    (bucket_flops.json, tools/bucket_flops.py) instead of paying one
+    remote compile per bucket. A config change without a regeneration
+    must fail here, not silently fall back to 14 live compiles."""
+    with open(ROOT / "bucket_flops.json") as f:
+        art = json.load(f)
+    buckets = art["buckets"]
+    for sec in serving_cfg.BUCKETS_S:
+        e = buckets.get(str(sec))
+        assert e is not None, f"bucket_flops.json missing bucket {sec}s"
+        assert e["batch"] == serving_cfg.BUCKET_B[sec], (sec, e)
+        assert e["lt"] == serving_cfg.BUCKET_LT.get(sec, serving_cfg.LT), (sec, e)
+        assert e["flops"] > 0, (sec, e)
