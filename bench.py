@@ -116,7 +116,16 @@ SR = 16_000
 # itself quantizes on T tiles), so eighth-steps are not worth graphs.
 BUCKETS_S = (1.25, 1.875, 2.5, 3.125, 3.75, 4.375, 5.0, 5.625,
              6.25, 6.875, 7.5, 8.125, 8.75, 10.0)
-BUCKET_B = {1.25: 384, 1.875: 384, 2.5: 384, 3.125: 256, 3.75: 256,
+# Round-4c per-fine-bucket batch re-search (.scratch/batch_sweep_r4b.py,
+# whole-model e2e best-of-5 on the real chip): the sub-buckets inherited
+# their coarse sibling's batch, but their smaller conv share moves the
+# amortization point. Winners: 1.25 s B=768 0.2129 vs 0.2153 ms/utt
+# (-1.1%), 1.875 s B=512 0.2561 vs 0.2584 (-0.9%), 3.125 s B=384 0.4508
+# vs 0.4588 (-1.7%; B=512 tied at 0.4503 — kept 384 for flush latency +
+# memory). Every other bucket re-measured best at its current batch
+# (2.5/3.75/4.375 s: next size up worse; 5.625-8.75 s: 192/256 worse or
+# tied).
+BUCKET_B = {1.25: 768, 1.875: 512, 2.5: 384, 3.125: 384, 3.75: 256,
             4.375: 256, 5.0: 256, 5.625: 128, 6.25: 128, 6.875: 128,
             7.5: 128, 8.125: 128, 8.75: 128, 10.0: 128}
 # Text-length buckets (hriemo.infer.streaming text_bucket_tokens):

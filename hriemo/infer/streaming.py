@@ -33,8 +33,14 @@ import jax.numpy as jnp
 # -5..-24% per-utt measured, +6.1% at the serving mix; bench.py
 # BUCKETS_S comment has the per-bucket A/B numbers).
 # Round 4b adds the quarter-step midpoints (minus 9.375 s — measured
-# within noise of 10 s): 14 buckets total.
-MEASURED_BUCKET_BATCH = {1.25: 384, 1.875: 384, 2.5: 384, 3.125: 256,
+# within noise of 10 s): 14 buckets total. Round 4c re-searched the
+# per-fine-bucket batch (the sub-buckets had inherited their coarse
+# sibling's optimum, but their conv share is smaller so the fixed-cost
+# amortization point moved): 1.25 s -> 768 (-1.1% per-utt), 1.875 s ->
+# 512 (-0.9%), 3.125 s -> 384 (-1.7%; 512 tied within 0.1%, kept the
+# smaller batch for flush latency). All other buckets re-measured at
+# their current optimum (.scratch/batch_sweep_r4b.py, real chip).
+MEASURED_BUCKET_BATCH = {1.25: 768, 1.875: 512, 2.5: 384, 3.125: 384,
                          3.75: 256, 4.375: 256, 5.0: 256, 5.625: 128,
                          6.25: 128, 6.875: 128, 7.5: 128, 8.125: 128,
                          8.75: 128, 10.0: 128}
