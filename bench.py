@@ -138,8 +138,13 @@ BUCKET_B = {1.25: 768, 1.875: 512, 2.5: 384, 3.125: 384, 3.75: 256,
 # 8 elements per 128-lane tile), 5/7.5 s ride 32, and 10 s rides 64 (the
 # reference instead pads every text to max_length=128,
 # extract_text_feats_bert.py:37-38). lt=16 vs 32 at the 2.5 s bucket:
-# 74.47 vs 78.21 ms/batch at B=256 (.scratch/text16_ab.py).
-TEXT_BUCKETS = (16, 32, 64)
+# 74.47 vs 78.21 ms/batch at B=256 (.scratch/text16_ab.py). Round 4c:
+# the 1.25 s bucket needs only 2+ceil(3.25*1.25)=7 tokens, so it rides
+# an 8-token bucket (sub=8: 16 elements/tile; BERT + fusion text-side
+# row counts halve) — measured 0.2040 vs 0.2132 ms/utt at B=768
+# (-4.3%; B=1024 0.2052, B=512 0.2074 — 768 stays the batch optimum;
+# .scratch/text8_ab.py).
+TEXT_BUCKETS = (8, 16, 32, 64)
 TOKENS_PER_SEC = 3.25  # 150 wpm x ~1.3 wordpieces/word
 BUCKET_LT = {
     sec: next(tb for tb in (*TEXT_BUCKETS, 128)
@@ -149,7 +154,7 @@ BUCKET_LT = {
 TEXT_MIX_NOTE = (
     "text length tied to audio duration at ~150 wpm conversational "
     "English x ~1.3 BERT wordpieces/word (+2 specials); flushes ride the "
-    "output-exact text buckets (16, 32, 64) instead of the reference's "
+    f"output-exact text buckets {TEXT_BUCKETS} instead of the reference's "
     "fixed max_length=128 padding"
 )
 B = 64  # FLOP-accounting / latency reference batch

@@ -579,12 +579,15 @@ def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
     # 14.58 -> 7.53 ms, B=128/lt=64 10.02 -> 7.47, B=128/lt=32
     # 7.3 -> 4.70 (bf16-XLA references 15.7/15.1/8.9).
     # sub=16 (8 elements/tile) extends the same scheme down to the
-    # 16-token text bucket (2.5 s clips need ~11 tokens); the packed
+    # 16-token text bucket (2.5 s clips need ~11 tokens); sub=8
+    # (16 elements/tile, round 4) down to the 8-token bucket (1.25 s
+    # clips need ~7 tokens — 8 rows is exactly one fp32 (8,128)
+    # sublane tile, so total packed rows B*sub halve again); the packed
     # tile stays [128, 128], only the block-diagonal pattern changes.
     sub = subk = 0
     if max(lq, lk) <= 64 and d % 128 == 0:
         mx = max(lq, lk)
-        sub = 16 if mx <= 16 else 32 if mx <= 32 else 64
+        sub = 8 if mx <= 8 else 16 if mx <= 16 else 32 if mx <= 32 else 64
         g = 128 // sub
         bg = -(-b // g) * g
         pad3 = ((0, bg - b), (0, 0), (0, 0))

@@ -291,7 +291,9 @@ def test_mha_block_packed_short_rows(monkeypatch):
                       (2, 32, 17),    # sub=32, short keys
                       (9, 16, 16),    # sub=16, g=8, batch pad 9->16
                       (3, 11, 14),    # sub=16, cross lq != lk
-                      (3, 6, 6),      # decoder self-attn shape (sub=16)
+                      (3, 6, 6),      # decoder self-attn shape (sub=8)
+                      (9, 8, 8),      # sub=8 exact fit, g=16, pad 9->16
+                      (2, 5, 8),      # sub=8, cross lq != lk
                       # q-pack mode (round 3c): short queries, long keys
                       (5, 16, 124),   # subq=16, g=8 (cross t->a, 2.5 s)
                       (3, 6, 100),    # subq=16, decoder-style 6 queries

@@ -124,19 +124,20 @@ def check_mha_block(rng, results):
     p = jax.tree_util.tree_map(
         lambda x: (x * 0.3).astype(jnp.bfloat16), p)
     q = quantize_tree_for_serving(p)
-    for (lq, lk, tag) in [(499, 499, "self L=499"), (499, 128, "cross 499x128"),
-                          (128, 128, "self L=128"),
-                          # serving text buckets (round 3): BERT/fusion
-                          # text-side sublayers at 16/32/64 tokens
-                          (16, 16, "self L=16"), (32, 32, "self L=32"),
-                          (64, 64, "self L=64"),
-                          # cross-modal a<->t at the max frame count x every
-                          # text bucket (round 4: tests/test_kernel_numerics_
-                          # drift.py requires BOTH directions per bucket)
-                          (499, 16, "cross 499x16"),
-                          (499, 32, "cross 499x32"), (499, 64, "cross 499x64"),
-                          (16, 499, "cross 16x499"), (32, 499, "cross 32x499"),
-                          (64, 499, "cross 64x499")]:
+    import bench
+    shapes = [(499, 499, "self L=499"), (499, 128, "cross 499x128"),
+              (128, 128, "self L=128")]
+    # serving text buckets, derived from bench.py (the serving-config
+    # single source of truth) so a bucket change cannot leave this tool
+    # stale: BERT/fusion text-side self-attention at every bucket plus
+    # cross-modal a<->t at the max frame count x every bucket in BOTH
+    # directions (tests/test_kernel_numerics_drift.py requires all of
+    # these rows).
+    for lt in bench.TEXT_BUCKETS:
+        shapes += [(lt, lt, f"self L={lt}"),
+                   (499, lt, f"cross 499x{lt}"),
+                   (lt, 499, f"cross {lt}x499")]
+    for (lq, lk, tag) in shapes:
         xq = jnp.asarray(rng.standard_normal((B, lq, d_model)).astype(np.float32)
                          * 0.5).astype(jnp.bfloat16)
         xkv = xq if lq == lk else jnp.asarray(
