@@ -2,14 +2,16 @@
 """Benchmark harness — prints the headline JSON line as soon as it is
 measured, then an enriched JSON line when the auxiliary blocks finish.
 
-Driver-capture contract (VERDICT r3 #1): stdout carries up to TWO JSON
-lines. Line 1 is the complete headline (metric/value/unit/vs_baseline +
-per-bucket config/spread), flushed immediately after the bucket
-measurements so a driver timeout can never erase the round's number.
-Line 2 repeats every line-1 field plus the time-boxed aux blocks
-(int8 gate, MFU, scheduler-as-served, train, continuity metrics) —
-parsing the LAST JSON line on stdout always yields the richest complete
-artifact available at exit/kill time.
+Driver-capture contract (VERDICT r3 #1): stdout carries a SEQUENCE of
+JSON lines, each a complete valid artifact. Line 1 is the headline
+(metric/value/unit/vs_baseline + per-bucket config/spread), flushed
+immediately after the bucket measurements so a driver timeout can never
+erase the round's number. Every completed time-boxed aux block (int8
+gate, MFU, scheduler-as-served, train, continuity metrics) re-emits the
+enriched JSON — so a kill mid-aux loses at most the one in-flight block.
+Parsing the LAST JSON line on stdout always yields the richest complete
+artifact available at exit/kill time; every line repeats the full
+headline fields.
 
 Headline metric = the BASELINE.json north star: **end-to-end IEMOCAP
 utterances/sec/chip including the WavLM + BERT frontends** (waveform +
@@ -211,6 +213,11 @@ def _timebox(out: dict, key: str, fn):
     except Exception as e:  # noqa: BLE001 — annotate, keep the artifact
         out[key] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
     _progress(f"{key} block done")
+    # Persist incrementally: re-emit the enriched JSON after every
+    # completed aux block so a driver kill mid-aux loses at most ONE
+    # block, not all of them (the last stdout line is always the most
+    # complete; the headline fields are identical on every line).
+    print(json.dumps(out), flush=True)
 
 
 def _enable_compile_cache():
@@ -595,7 +602,10 @@ def build_serving_models():
 
 def main():
     _enable_compile_cache()
+    _progress("waiting for backend (a silent stall here = tunnel outage; "
+              "init retries are bounded, see _wait_for_backend)")
     _wait_for_backend()
+    _progress("backend up")
 
     wavlm, bert, fusion, P16, P = build_serving_models()
     rng = np.random.default_rng(0)
