@@ -146,7 +146,23 @@ BUCKET_B = {1.25: 768, 1.875: 512, 2.5: 384, 3.125: 384, 3.75: 256,
 # row counts halve) — measured 0.2040 vs 0.2132 ms/utt at B=768
 # (-4.3%; B=1024 0.2052, B=512 0.2074 — 768 stays the batch optimum;
 # .scratch/text8_ab.py).
-TEXT_BUCKETS = (8, 16, 32, 64)
+# Round-4d: text buckets need NOT be powers of two — the packed MHA
+# picks its sub-block from {8,16,32,64} >= max length, so within a sub
+# class the attention tile cost is fixed and only the BERT FFN/LN/embed
+# and fusion text-side GEMM rows scale with lt. Whole-model A/B per
+# affected bucket (.scratch/textlt_ab.py, best-of-5, real chip) shipped
+# three intermediate buckets:
+#   lt=12 (sub=16): 1.875 s 0.2552 vs 0.2565 ms/utt (-0.5%),
+#                   2.5 s 0.2825 vs 0.2834 (-0.3%)
+#   lt=20 (sub=32): 4.375 s 0.5184 vs 0.5237 (-1.0%),
+#                   5 s 0.5416 vs 0.5464 (-0.9%)
+#   lt=24 (sub=32): 5.625 s 0.7497 vs 0.7537 (-0.5%),
+#                   6.25 s 0.7555 vs 0.7598 (-0.6%)
+# Measured NOISE-LEVEL and dropped: lt=28 at 6.875/7.5 s (+0.05/-0.07%)
+# and lt=36/40 at 10 s (1.1337/1.1340 vs 1.1336 — the B=128/lt=64 BERT
+# rows are already a small slice of the 145 ms batch). Mix-weighted:
+# +0.29% headline.
+TEXT_BUCKETS = (8, 12, 16, 20, 24, 32, 64)
 TOKENS_PER_SEC = 3.25  # 150 wpm x ~1.3 wordpieces/word
 BUCKET_LT = {
     sec: next(tb for tb in (*TEXT_BUCKETS, 128)

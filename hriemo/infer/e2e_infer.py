@@ -44,7 +44,7 @@ def parse_args(argv=None):
                              5.625, 6.25, 6.875, 7.5, 8.125, 8.75, 10.0])
     ap.add_argument("--max_tokens", type=int, default=128)
     ap.add_argument("--text_bucket_tokens", type=int, nargs="*",
-                    default=[8, 16, 32, 64],
+                    default=[8, 12, 16, 20, 24, 32, 64],
                     help="pad each flush's tokens to the smallest of "
                          "these buckets covering its longest text "
                          "(output-EXACT — see streaming.py; pass no "
