@@ -9,9 +9,16 @@ immediately after the bucket measurements so a driver timeout can never
 erase the round's number. Every completed time-boxed aux block (int8
 gate, MFU, scheduler-as-served, train, continuity metrics) re-emits the
 enriched JSON — so a kill mid-aux loses at most the one in-flight block.
-Parsing the LAST JSON line on stdout always yields the richest complete
-artifact available at exit/kill time; every line repeats the full
-headline fields.
+After every full artifact line a COMPACT summary line (<1.5 KB, complete
+JSON) is printed — so the LAST stdout line is always a small, complete,
+parseable object even for a driver that keeps only a bounded tail of
+stdout (VERDICT r4 missing #1: BENCH_r04.json captured a 2000-char tail
+whose one enriched line was beheaded mid-object). The compact line
+carries {metric, value, unit, vs_baseline, mfu_min/max, int8_prob_delta,
+train_examples_per_sec, scheduler numbers, p50_ms_per_clip + p50_config,
+attainable_headroom_pct, attainable_utt_per_sec,
+regression_vs_last_round, aux_blocks_completed}. The full enriched
+artifact is the second-to-last JSON line.
 
 Headline metric = the BASELINE.json north star: **end-to-end IEMOCAP
 utterances/sec/chip including the WavLM + BERT frontends** (waveform +
@@ -213,6 +220,80 @@ def _remaining_s() -> float:
     return BUDGET_S - (time.perf_counter() - T0)
 
 
+_AUX_DONE = []  # names of aux blocks that completed (for the compact line)
+
+
+def _last_round_value():
+    """Previous round's committed headline (BENCH_SELF_r*.json) for the
+    regression gate (VERDICT r4 next #8). Warn-only: tunnel variance is
+    a few %, so the field flags a drop without failing the bench."""
+    import glob
+    try:
+        files = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF_r*.json")))
+        if not files:
+            return None, None
+        with open(files[-1]) as f:
+            prev = json.load(f)
+        return float(prev["value"]), os.path.basename(files[-1])
+    except Exception:  # noqa: BLE001 — the gate is best-effort
+        return None, None
+
+
+def _compact_summary(out: dict) -> dict:
+    """The <=1.5 KB summary object printed as the LAST stdout line after
+    every artifact emission (driver-capture contract, VERDICT r4 #1).
+    Pulls scalars out of the enriched artifact; every field optional
+    except the headline four."""
+    s = {"metric": out["metric"], "value": out["value"], "unit": out["unit"],
+         "vs_baseline": out["vs_baseline"], "line": "compact_summary"}
+    mfu = out.get("mfu")
+    if isinstance(mfu, dict):
+        vals = [v for v in mfu.values() if isinstance(v, (int, float))]
+        if vals:
+            s["mfu_min"], s["mfu_max"] = min(vals), max(vals)
+    # int8_prob_delta lives in out["int8"] during aux, top-level at exit
+    delta = out.get("int8_prob_delta",
+                    (out.get("int8") or {}).get("int8_prob_delta")
+                    if isinstance(out.get("int8"), dict) else None)
+    if delta is not None:
+        s["int8_prob_delta"] = delta
+    tr = out.get("train")
+    if isinstance(tr, dict) and "examples_per_sec" in tr:
+        s["train_ms_per_step"] = tr["ms_per_step"]
+        s["train_examples_per_sec"] = tr["examples_per_sec"]
+        thr = tr.get("throughput", {})
+        if isinstance(thr, dict) and "examples_per_sec" in thr:
+            s["train_examples_per_sec_b512"] = thr["examples_per_sec"]
+    sch = out.get("scheduler")
+    if isinstance(sch, dict) and "utt_per_sec_sustained" in sch:
+        s["scheduler_utt_per_sec_sustained"] = sch["utt_per_sec_sustained"]
+        for k in ("utt_per_sec_projected_pcie", "utt_per_sec_device_resident"):
+            if k in sch:
+                s["scheduler_" + k] = sch[k]
+    for k in ("p50_ms_per_clip", "p50_config", "bf16_ms_per_batch64_5s",
+              "fusion_only_utt_per_sec", "attainable_headroom_pct",
+              "attainable_utt_per_sec", "regression_vs_last_round",
+              "regression_vs_last_round_note", "int8_gate_failed"):
+        v = out.get(k)
+        if v is not None and not isinstance(v, dict):
+            s[k] = v
+    s["aux_blocks_completed"] = list(_AUX_DONE)
+    line = json.dumps(s)
+    if len(line) > 1500:  # hard contract: the last line must fit a tail
+        for k in ("regression_vs_last_round_note", "p50_config",
+                  "aux_blocks_completed"):
+            s.pop(k, None)
+    return s
+
+
+def _emit(out: dict) -> None:
+    """Print the full artifact line, then the compact summary line, both
+    flushed — the last stdout line is always a complete small JSON."""
+    print(json.dumps(out), flush=True)
+    print(json.dumps(_compact_summary(out)), flush=True)
+
+
 def _timebox(out: dict, key: str, fn):
     """Run aux block ``fn`` if its estimate fits the remaining budget;
     otherwise record a skip note. Exceptions annotate instead of killing
@@ -226,14 +307,15 @@ def _timebox(out: dict, key: str, fn):
     _progress(f"starting {key} block ({rem:.0f}s budget left)")
     try:
         out[key] = fn()
+        _AUX_DONE.append(key)
     except Exception as e:  # noqa: BLE001 — annotate, keep the artifact
         out[key] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
     _progress(f"{key} block done")
-    # Persist incrementally: re-emit the enriched JSON after every
-    # completed aux block so a driver kill mid-aux loses at most ONE
-    # block, not all of them (the last stdout line is always the most
-    # complete; the headline fields are identical on every line).
-    print(json.dumps(out), flush=True)
+    # Persist incrementally: re-emit the enriched JSON (+ compact summary
+    # trailer) after every completed aux block so a driver kill mid-aux
+    # loses at most ONE block, not all of them, and the last stdout line
+    # is always a small complete JSON object.
+    _emit(out)
 
 
 def _enable_compile_cache():
@@ -744,9 +826,26 @@ def main():
     headroom = _attainable_headroom()
     if headroom is not None:
         out["attainable_headroom_pct"] = headroom
+        # VERDICT r4 next #3: publish the speed-of-light throughput at the
+        # MEASURED toolchain ceilings (int8-in-kernel ~1.35x bf16, XLA conv
+        # ~100% MXU, softmax-VPU floor — priced in perf_budget.json) so
+        # this artifact alone says whether the 5,000 north star is
+        # attainable on this toolchain. It is not: the rest of the gap is
+        # toolchain/hardware, not routing — see PERF.md.
+        out["attainable_utt_per_sec"] = round(
+            e2e_utt_per_sec * (1 + headroom / 100), 1)
         out["attainable_headroom_note"] = (
             "from tools/perf_budget.py (committed perf_budget.json): e2e gap "
-            "vs GEMM ideal net of priced structural floors — see PERF.md")
+            "vs GEMM ideal net of priced structural floors — see PERF.md; "
+            "attainable_utt_per_sec = value * (1 + headroom) is the "
+            "max-attainable e2e throughput at measured toolchain ceilings")
+    prev_val, prev_file = _last_round_value()
+    if prev_val:
+        out["regression_vs_last_round"] = round(e2e_utt_per_sec / prev_val - 1, 4)
+        note = f"vs {prev_val} utt/s ({prev_file}); warn-only (tunnel variance)"
+        if e2e_utt_per_sec < 0.95 * prev_val:
+            note += " — REGRESSION >5%: check tunnel health, then routing"
+        out["regression_vs_last_round_note"] = note
     warn = {k: v for k, v in spreads.items() if v > SPREAD_TOL}
     if warn:
         out["spread_warning"] = warn
@@ -754,8 +853,9 @@ def main():
     # The headline is complete here — print it NOW (flushed) so a driver
     # timeout during the aux blocks can never erase the round's number
     # again (BENCH_r03 was rc=124/parsed:null). The enriched JSON follows
-    # as a second line; the driver keeps whichever line(s) it got.
-    print(json.dumps(out), flush=True)
+    # as later lines; each emission appends a compact summary trailer so
+    # the LAST stdout line is always a small complete JSON object.
+    _emit(out)
     _progress(f"headline {out['value']} utt/s — JSON line 1 emitted "
               f"({_remaining_s():.0f}s budget left); starting aux blocks")
 
@@ -884,6 +984,14 @@ def main():
              lambda: bench_scheduler(wavlm, bert, fusion, bucket_stats, rng))
     _timebox(out, "bf16_ms_per_batch64_5s", _aux_bf16)
     _timebox(out, "p50_ms_per_clip", _aux_p50)
+    if isinstance(out.get("p50_ms_per_clip"), (int, float)):
+        # VERDICT r4 weak #5: the p50 number's serving precision must be
+        # in the artifact itself. B=1 routes bf16 because int8 at B=1 is
+        # launch/VPU-bound (measured 6.0 vs 3.7 ms; the serving tier picks
+        # precision per batch regime — int8 for throughput batches).
+        out["p50_config"] = ("bf16 B=1 at the median-duration bucket "
+                             "(int8 B=1 is launch-bound and slower; see "
+                             "PARITY.md measured-performance table)")
     _timebox(out, "fusion_only_utt_per_sec", _aux_fusion_only)
 
     # flatten the int8-gate fields to their historical top-level names
@@ -904,7 +1012,7 @@ def main():
         out["mfu_note"] = (f"compiled-HLO FLOPs / time / v5e bf16 peak "
                            f"({V5E_BF16_PEAK/1e12:.0f} TF/s)")
 
-    print(json.dumps(out), flush=True)
+    _emit(out)
     if gate_failed:  # fail loudly AFTER the artifact is out (advisor r2)
         raise AssertionError(gate_failed)
 
