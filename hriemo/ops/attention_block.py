@@ -102,6 +102,56 @@ def _quant_rows(x):
     return q.astype(jnp.int8), s
 
 
+def _int8_core_mode() -> str:
+    """Attention-core int8 routing (VERDICT r4 next #2) — the one
+    precision lever the speed-of-light claim had not measured: the
+    score (q·kᵀ) and PV GEMMs run bf16 inside the megakernels while the
+    projections are int8 W8A8.
+
+    ``HRIEMO_INT8_CORE`` = ``score`` | ``pv`` | ``both`` quantizes the
+    respective core GEMM(s) to int8 in-kernel:
+      * score: per-row requantize q and k (the projection dequant has
+        per-row x-scales + bias, so q/k must round-trip through fp32
+        anyway); int8×int8→int32 QK; dequant by the [rw,1]×[1,Lk] scale
+        outer product folded into the existing bias/gate VPU pass.
+      * pv: exp(s−m) has row max exactly 1, so p quantizes at the FIXED
+        scale 127 (no amax reduction) and normalization by l is deferred
+        into the [rw,hd] dequant (cheap there; the fp32 [Lp,Lp] p/l
+        divide disappears); v requantizes per-column over keys.
+
+    Default "": the routing decision is measurement-driven — whole-model
+    A/B numbers per mode live in PERF.md / CLAUDE.md (round 5,
+    .scratch/int8core_ab.py) and decide what ships. Numerics
+    (interpret-mode, tests/test_attention_block.py) are pinned by
+    equivalence tests so the lever stays re-measurable on future
+    toolchains either way."""
+    v = os.environ.get("HRIEMO_INT8_CORE", "")
+    return v if v in ("score", "pv", "both") else ""
+
+
+def _quant_score_gemm(qh, kh):
+    """int8 QK^T: requantize per row, int32 MXU, fp32 dequant."""
+    qq, qs_r = _quant_rows(qh)
+    kq, ks_r = _quant_rows(kh)
+    acc = jax.lax.dot_general(qq, kq, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (qs_r * ks_r.reshape(1, -1))
+
+
+def _quant_pv_gemm(p, l, vh):
+    """int8 PV: p at fixed scale 127 (row max of exp(s-m) is exactly 1),
+    v per-column over keys; the l normalization rides the dequant."""
+    pq = jnp.clip(jnp.round(p * 127.0), 0.0, 127.0).astype(jnp.int8)
+    vf = vh.astype(jnp.float32)
+    vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=0, keepdims=True),
+                     1e-8) * (1.0 / 127.0)
+    vq = jnp.clip(jnp.round(vf / vs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(pq, vq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * (vs * (1.0 / 127.0)) / l
+            ).astype(jnp.bfloat16)
+
+
 def _int8_gemm(xq, xs, w, s, bias):
     """[M,K] int8 @ [K,N] int8 -> fp32 with row/col dequant + bias."""
     acc = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
@@ -114,7 +164,7 @@ def _kernel(x_ref, kbias_ref, pos_ref,
             wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref,
             wg_ref, bg_ref, gconst_ref, lnw_ref, lnb_ref,
             o_ref, *, n_heads, eps, bpg, hpc, scale_folded=True,
-            pipe=False):
+            pipe=False, int8_core=""):
     """``bpg`` batch elements per grid step, ``hpc`` heads per GEMM chunk.
 
     The projection GEMMs run on the ROW-STACKED [bpg*Lp, D] block so their
@@ -172,9 +222,12 @@ def _kernel(x_ref, kbias_ref, pos_ref,
                 ga = jax.nn.sigmoid(jnp.sum(gp[:, 0:4], axis=-1, keepdims=True))
                 gb = jax.nn.sigmoid(jnp.sum(gp[:, 4:8], axis=-1, keepdims=True))
                 gate = ga * (gb * gconst_ref[0, h] - 1.0) + 2.0     # [rw, 1]
-                s = jax.lax.dot_general(
-                    qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)             # [rw, Lp]
+                if int8_core in ("score", "both"):
+                    s = _quant_score_gemm(qh, kh)                   # [rw, Lp]
+                else:
+                    s = jax.lax.dot_general(
+                        qh, kh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)         # [rw, Lp]
                 if not scale_folded:  # A/B escape hatch (HRIEMO_NO_SCALEFOLD)
                     s = s * (1.0 / math.sqrt(hd))
                 pos = pos_ref[h, r * rw:(r + 1) * rw, :].astype(jnp.float32)
@@ -193,6 +246,8 @@ def _kernel(x_ref, kbias_ref, pos_ref,
                 # (the 10 s number needed a bf16-domain exp: the fp32
                 # deferred variant OOMs scoped VMEM 17.1M/16M at Lp=512).
                 # Mosaic's in-place p/l is effectively free; do not retry.
+                if int8_core in ("pv", "both"):
+                    return _quant_pv_gemm(p, l, vh)
                 return jax.lax.dot_general(
                     (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
@@ -381,7 +436,8 @@ def attention_block_int8(ap, p_ln, x, position_bias, key_padding_bias, eps,
                                          memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
         functools.partial(_kernel, n_heads=n_heads, eps=eps, bpg=bpg, hpc=hpc,
-                          scale_folded=scale_folded, pipe=_pipe_default(lp)),
+                          scale_folded=scale_folded, pipe=_pipe_default(lp),
+                          int8_core=_int8_core_mode()),
         grid=(bp // bpg,),
         in_specs=[
             pl.BlockSpec((bpg, lp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -417,7 +473,7 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
                 sq_ref, sk_ref, sv_ref, so_ref,
                 bq_ref, bk_ref, bv_ref, bo_ref,
                 o_ref, *, n_heads, bpg, hpc, sub: int = 0,
-                subk: int = 0, scale_folded=True):
+                subk: int = 0, scale_folded=True, int8_core=""):
     """Standard MHA sublayer (packed-proj int8): out_proj(attn(xq, xkv)).
 
     The WavLM megakernel minus the gated position bias — shared by the
@@ -482,9 +538,12 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
             for hh in range(hpc):
                 sl = slice(hh * hd, (hh + 1) * hd)
                 qh, kh, vh = qc[qsl, sl], kc[ksl, sl], vc[ksl, sl]
-                s = jax.lax.dot_general(
-                    qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)          # [Lqp, Lkp]
+                if int8_core in ("score", "both"):
+                    s = _quant_score_gemm(qh, kh)                # [Lqp, Lkp]
+                else:
+                    s = jax.lax.dot_general(
+                        qh, kh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)      # [Lqp, Lkp]
                 if not scale_folded:  # A/B escape hatch (HRIEMO_NO_SCALEFOLD)
                     s = s * (1.0 / math.sqrt(hd))
                 s = s + kbias
@@ -495,9 +554,12 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
                 l = jnp.sum(p, axis=-1, keepdims=True)
                 # deferred normalization measured LOSING here too (see the
                 # WavLM kernel's softmax note) — keep the in-place p/l
-                outs[e].append(jax.lax.dot_general(
-                    (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+                if int8_core in ("pv", "both"):
+                    outs[e].append(_quant_pv_gemm(p, l, vh))
+                else:
+                    outs[e].append(jax.lax.dot_general(
+                        (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(jnp.bfloat16))
 
     ctx = jnp.concatenate(
         [jnp.concatenate(o, axis=-1) for o in outs], axis=0)  # [bpg*Lqp, D]
@@ -703,7 +765,8 @@ def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
                                          memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
         functools.partial(_mha_kernel, n_heads=n_heads, bpg=bpg, hpc=hpc,
-                          sub=sub, subk=subk, scale_folded=scale_folded),
+                          sub=sub, subk=subk, scale_folded=scale_folded,
+                          int8_core=_int8_core_mode()),
         grid=(bp // bpg,),
         in_specs=[
             pl.BlockSpec((bpg, lqp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

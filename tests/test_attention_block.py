@@ -312,3 +312,61 @@ def test_mha_block_packed_short_rows(monkeypatch):
         np.testing.assert_allclose(a, r, atol=5e-2, rtol=5e-2)
         assert np.median(np.abs(a - r)) < 5e-3
         assert np.all(np.isfinite(a))
+
+
+@pytest.mark.parametrize("mode", ["score", "pv", "both"])
+def test_int8_core_modes_within_envelope(setup, monkeypatch, mode):
+    """HRIEMO_INT8_CORE quantizes the attention-core score/PV GEMMs to
+    int8 inside the WavLM megakernel (VERDICT r4 next #2 — the one
+    precision lever the speed-of-light claim had not measured). The
+    routing decision is perf-driven (PERF.md); numerics must stay well
+    inside the int8 serving envelope either way: int8-core vs the
+    default bf16 core on the SAME quantized params, plus the per-op
+    reference bound the default route already meets."""
+    apq, p_ln, x, pos, kpb, lens = setup
+    monkeypatch.delenv("HRIEMO_INT8_CORE", raising=False)
+    base = np.asarray(attention_block_int8(apq, p_ln, x, pos, kpb, EPS),
+                      np.float32)
+    monkeypatch.setenv("HRIEMO_INT8_CORE", mode)
+    got = np.asarray(attention_block_int8(apq, p_ln, x, pos, kpb, EPS),
+                     np.float32)
+    for i, n in enumerate(lens):
+        np.testing.assert_allclose(got[i, :n], base[i, :n],
+                                   atol=8e-2, rtol=8e-2)
+    assert np.median(np.abs(got[0] - base[0])) < 8e-3
+    # and the per-op fp-ish reference bound still holds
+    ref = np.asarray(_reference(apq, p_ln, x, pos, kpb), np.float32)
+    for i, n in enumerate(lens):
+        np.testing.assert_allclose(got[i, :n], ref[i, :n],
+                                   atol=8e-2, rtol=8e-2)
+
+
+@pytest.mark.parametrize("mode", ["score", "pv", "both"])
+def test_int8_core_modes_mha(monkeypatch, mode):
+    """Same envelope contract for the generic MHA kernel — self, cross,
+    hd=96 (fusion-stack head width), and packed-short-row shapes."""
+    from hriemo.nn.attention import mha_apply, mha_init
+    from hriemo.ops.attention_block import mha_block_int8
+    from hriemo.ops.quant import quantize_tree_for_serving
+
+    rng = np.random.default_rng(23)
+    for d, h, b, lq, lk in [(256, 2, 2, 96, 40),   # cross, hd=128
+                            (384, 4, 2, 50, 50),   # hd=96 fusion width
+                            (256, 2, 3, 20, 20)]:  # packed sub=32
+        params = quantize_tree_for_serving(mha_init(jax.random.key(d), d),
+                                           min_dim=128)
+        xq = jnp.asarray(rng.standard_normal((b, lq, d)).astype(np.float32) * 0.5)
+        xkv = jnp.asarray(rng.standard_normal((b, lk, d)).astype(np.float32) * 0.5)
+        lens = np.array([lk] + [max(1, lk - 5)] * (b - 1))
+        mask = jnp.asarray(np.arange(lk)[None, :] >= lens[:, None])
+        monkeypatch.delenv("HRIEMO_INT8_CORE", raising=False)
+        base = np.asarray(mha_block_int8(params, xq, xkv, mask, h), np.float32)
+        monkeypatch.setenv("HRIEMO_INT8_CORE", mode)
+        got = np.asarray(mha_block_int8(params, xq, xkv, mask, h), np.float32)
+        np.testing.assert_allclose(got, base, atol=8e-2, rtol=8e-2)
+        assert np.median(np.abs(got - base)) < 8e-3
+        assert np.all(np.isfinite(got))
+        ref, _ = mha_apply(params, xq, xkv, xkv, h, key_padding_mask=mask,
+                           use_kernel=False)
+        np.testing.assert_allclose(got, np.asarray(ref, np.float32),
+                                   atol=8e-2, rtol=8e-2)
