@@ -209,7 +209,7 @@ BUDGET_S = float(os.environ.get("HRIEMO_BENCH_BUDGET_S", "1500"))  # 25 min
 # estimated aux-block costs over the dev tunnel (stderr timestamps of the
 # r03 run + per-block compile counts); deliberately pessimistic. Keys ==
 # the _timebox output-field names in main().
-AUX_EST_S = {"mfu": 30, "int8": 240, "scheduler": 600, "train": 330,
+AUX_EST_S = {"mfu": 30, "int8": 240, "scheduler": 680, "train": 330,
              "bf16_ms_per_batch64_5s": 120, "p50_ms_per_clip": 90,
              "fusion_only_utt_per_sec": 60}
 # mfu reads committed bucket_flops.json (no per-bucket compiles);
@@ -461,7 +461,8 @@ def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
     # measure the host->device link directly (one flush-sized buffer) so
     # the stall can be attributed: this dev environment reaches the TPU
     # over a network tunnel at ~30-50 MB/s vs ~10+ GB/s host PCIe.
-    buf = np.zeros((MEASURED_BUCKET_BATCH[2.5], int(2.5 * SR)), np.int16)
+    probe_sec = 2.5 if 2.5 in MEASURED_BUCKET_BATCH else BUCKETS_S[len(BUCKETS_S) // 2]
+    buf = np.zeros((MEASURED_BUCKET_BATCH[probe_sec], int(probe_sec * SR)), np.int16)
     reduce = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
     float(reduce(jnp.asarray(buf)))  # warm the reduction's compile
     link = []
@@ -493,6 +494,35 @@ def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
         flushes = -(-n // MEASURED_BUCKET_BATCH[sec])
         device_s += flushes * bucket_stats[sec][0]
     h2d_mb = prep["bytes"] / 1e6
+
+    # VERDICT r4 weak #3 / next #4: validate the projection's DEVICE term
+    # with an actual sustained run. Re-run the exact recorded flush
+    # schedule through the real dispatch path (pipe._forward — the same
+    # compiled graphs the stream loop used) with every flush's arrays
+    # pre-staged on device, fetching results one flush behind (the
+    # scheduler's own overlap discipline): wall = device compute + the
+    # non-overlapped dispatch/fetch overhead only — no host prep, no H2D.
+    staged = []
+    for a, k in prep["calls"]:
+        staged.append(tuple(jax.device_put(jnp.asarray(x))
+                            for x in orig_prep(*a, **k)))
+    # one untimed pass first: forces every staged transfer to complete
+    # and every result fetched (block_until_ready does not force
+    # execution over the dev tunnel; a data fetch does) — the timed
+    # passes then run fully device-resident with warm graphs
+    for arrs in staged:
+        np.asarray(pipe._forward(pipe._params, *arrs)[0])
+    dev_wall = float("inf")
+    for _ in range(3):
+        pending_probs = None
+        t0 = time.perf_counter()
+        for arrs in staged:
+            probs_d, _beta_d = pipe._forward(pipe._params, *arrs)
+            if pending_probs is not None:
+                np.asarray(pending_probs)  # fetch flush i-1 (blocks)
+            pending_probs = probs_d
+        np.asarray(pending_probs)
+        dev_wall = min(dev_wall, time.perf_counter() - t0)
     # With host prep overlapped (one-deep pending queue), sustained wall =
     # max(device, host prep, H2D). On a PCIe-attached host (>= 8 GB/s) the
     # H2D term is ~h2d_mb/8000 s; project the scheduler's throughput there.
@@ -508,6 +538,17 @@ def bench_scheduler(wavlm, bert, fusion, bucket_stats, rng,
         "wall_ms": round(wall * 1000, 1),
         "n_clips": n_clips,
         "utt_per_sec_projected_pcie": round(n_done / pcie_wall, 1),
+        "utt_per_sec_device_resident": round(n_done / dev_wall, 1),
+        "device_resident_wall_ms": round(dev_wall * 1000, 1),
+        "device_resident_vs_budget": round(dev_wall / device_s, 3),
+        "device_resident_note": (
+            "measured sustained run of the recorded flush schedule through "
+            "the real dispatch path with all inputs pre-staged on device "
+            "(one-deep pending fetch, best-of-3) — validates the "
+            "projection's device term: device_resident_vs_budget is "
+            "measured wall / bucket-stat arithmetic (1.0 = exact; the "
+            "excess is non-overlapped dispatch overhead, tunnel-inflated "
+            "in this dev environment)."),
         "note": ("stream_bucketed as served: int16 PCM source clips (what "
                  "decoded .wav data is) + pcm16 transport (bit-exact, 4x "
                  "fewer H2D bytes than f32+mask), host wav-prep + "
