@@ -119,12 +119,19 @@ def _int8_core_mode() -> str:
         into the [rw,hd] dequant (cheap there; the fp32 [Lp,Lp] p/l
         divide disappears); v requantizes per-column over keys.
 
-    Default "": the routing decision is measurement-driven — whole-model
-    A/B numbers per mode live in PERF.md / CLAUDE.md (round 5,
-    .scratch/int8core_ab.py) and decide what ships. Numerics
-    (interpret-mode, tests/test_attention_block.py) are pinned by
-    equivalence tests so the lever stays re-measurable on future
-    toolchains either way."""
+    Default "": measured LOSING at every bucket (round-5 whole-model
+    A/B, .scratch/int8core_ab.py, real chip — vs bf16core ms/batch:
+    1.25 s score +16.7% / pv +2.9% / both +13.4%; 2.5 s +15.1/+3.4/
+    +13.0; 5 s +11.6/+8.3/+17.9; at Lp=512 all three modes fail remote
+    compile — the extra int8 copies + scale rows tip the 16 MB
+    scoped-VMEM cliff, reproduced 3x right after bf16core compiled
+    fine). Same story as the conv kernel: the quant/dequant VPU passes
+    cost more than the int8 MXU saves on hd=64-deep core GEMMs, where
+    the projections win because the quant cost amortizes over K=768 ×
+    3H-wide fused outputs. Routing stays bf16-core; numerics are
+    pinned by interpret-mode equivalence tests
+    (tests/test_attention_block.py) so the lever stays re-measurable
+    on future toolchains. Full record: PERF.md round-5 update."""
     v = os.environ.get("HRIEMO_INT8_CORE", "")
     return v if v in ("score", "pv", "both") else ""
 
