@@ -78,7 +78,7 @@ def main(argv=None):
     from ..models import FusionWithEmotionDecoder
     from ..parallel import TrainConfig, create_train_state, make_eval_step, make_train_step
     from ..utils import checkpoint as C
-    from .common import TrainLogWriter, maybe_synthetic_iemocap, set_seed
+    from .common import TrainLogWriter, dropout_key, maybe_synthetic_iemocap, set_seed
 
     args = parse_args(argv)
     set_seed(args.seed)
@@ -139,7 +139,7 @@ def main(argv=None):
         for i, batch in enumerate(prefetch_to_device(iter(train_loader))):
             batch.pop("n_valid"); batch.pop("uids", None)
             state, metrics = train_step(
-                state, batch, jax.random.fold_in(jax.random.key(args.seed), epoch * 100000 + i))
+                state, batch, jax.random.fold_in(dropout_key(args.seed), epoch * 100000 + i))
             tr_losses.append(metrics["loss"])
         tr_loss = float(np.mean([float(l) for l in tr_losses])) if tr_losses else 0.0
 

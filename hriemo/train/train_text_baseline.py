@@ -24,7 +24,7 @@ def main(argv=None):
     import pandas as pd
 
     from ..data.datasets import build_label2id
-    from .common import maybe_synthetic_iemocap, set_seed
+    from .common import dropout_key, maybe_synthetic_iemocap, set_seed
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--index_csv", type=str, default="data/iemocap_index_splits.csv")
@@ -113,7 +113,7 @@ def main(argv=None):
             idx = order[i : i + bs]
             params, opt_state, _ = step(
                 params, opt_state, jnp.asarray(x_train[idx]), jnp.asarray(y_train[idx]),
-                jax.random.fold_in(jax.random.key(args.seed), epoch * 10000 + i))
+                jax.random.fold_in(dropout_key(args.seed), epoch * 10000 + i))
         val = evaluate(params, "val")
         if val["macro_f1"] > best_f1:  # select on val macro-F1 (reference)
             best_f1 = val["macro_f1"]
