@@ -612,7 +612,10 @@ def bench_train(n_steps: int = 20, repeats: int = 3, BT: int = 16, ACC: int = 2)
     if ACC == 1:
         # make_train_step contract: no leading accum dim at grad_accum=1
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)
-    key = jax.random.key(1)
+    # rbg dropout stream — the shipped trainer default (round 5,
+    # hriemo/train/common.py dropout_key: threefry bit-gen is VPU-bound,
+    # rbg measured -31%/-21% ms/step at B=32/512)
+    key = jax.random.key(1, impl="rbg")
 
     flops = None
     try:
@@ -654,7 +657,8 @@ def bench_train(n_steps: int = 20, repeats: int = 3, BT: int = 16, ACC: int = 2)
     out = {
         "config": ("MOSEI v2 flagship: d_model=256 h4 1xfusion+2xdecoder, "
                    f"bf16 compute/fp32 params, batch {BT} x accum {ACC}, "
-                   "La=300 Lt=128, pos_weight BCE + beta-entropy, AdamW"),
+                   "La=300 Lt=128, pos_weight BCE + beta-entropy, AdamW, "
+                   "rbg dropout stream"),
         "ms_per_step": round(best * 1000, 2),
         "examples_per_sec": round(BT * ACC / best, 1),
         "tokens_per_sec": round(BT * ACC * (LA + LTT) / best, 0),
@@ -983,11 +987,14 @@ def main():
 
     def _aux_p50():
         # p50 per-clip latency: single clip at the median bucket, served
-        # bf16 (measured: int8 at B=1 is LAUNCH/VPU-bound and slower —
-        # 6.0 vs 3.7 ms; the serving tier picks precision per batch
-        # regime: int8 for throughput batches, bf16 for latency singles)
+        # int8 — the SAME precision as the throughput tier. The round-3
+        # "int8 B=1 is launch-bound and slower" result (6.0 vs 3.7 ms)
+        # is obsolete under the round-4 schedules/packing: re-measured
+        # round 5 (.scratch/p50_b1_ab.py, 3.75 s bucket) int8 wins at
+        # every small batch — B=1 3.06 vs 3.31 bf16 (-8%), B=2 -11%,
+        # B=4 -13%, B=8 -18%. One serving precision for both regimes.
         median_bucket = BUCKETS_S[int(np.searchsorted(BUCKETS_S, np.median(durations)))]
-        return round(measure(1, median_bucket, iters=20, params=P16)[0] * 1000, 1)
+        return round(measure(1, median_bucket, iters=20, params=P)[0] * 1000, 1)
 
     def _aux_fusion_only():
         # fusion-only continuity metric (precomputed features path)
@@ -1027,12 +1034,14 @@ def main():
     _timebox(out, "p50_ms_per_clip", _aux_p50)
     if isinstance(out.get("p50_ms_per_clip"), (int, float)):
         # VERDICT r4 weak #5: the p50 number's serving precision must be
-        # in the artifact itself. B=1 routes bf16 because int8 at B=1 is
-        # launch/VPU-bound (measured 6.0 vs 3.7 ms; the serving tier picks
-        # precision per batch regime — int8 for throughput batches).
-        out["p50_config"] = ("bf16 B=1 at the median-duration bucket "
-                             "(int8 B=1 is launch-bound and slower; see "
-                             "PARITY.md measured-performance table)")
+        # in the artifact itself. Round 5 re-measured B=1: int8 now WINS
+        # (3.06 vs 3.31 ms at the median bucket; the round-3 launch-bound
+        # 6.0 ms result is obsolete under the round-4 schedules/packing —
+        # .scratch/p50_b1_ab.py), so the latency tier serves int8 too.
+        out["p50_config"] = ("int8 B=1 at the median-duration bucket — "
+                             "same precision as the throughput tier "
+                             "(int8 B=1 launch-bound penalty measured "
+                             "GONE in round 5: 3.06 int8 vs 3.31 bf16)")
     _timebox(out, "fusion_only_utt_per_sec", _aux_fusion_only)
 
     # flatten the int8-gate fields to their historical top-level names
