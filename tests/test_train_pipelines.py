@@ -77,3 +77,19 @@ def test_iemocap_seq_decoder_pipeline(tmp_path, loss_type):
     ckpt = torch.load(f"{out}/best_fusion_seq_decoder.pt", map_location="cpu",
                       weights_only=False)
     assert ckpt["args"]["loss_type"] == loss_type
+
+
+def test_dropout_key_is_rbg():
+    """The shipped per-step dropout stream is RBG (round 5: threefry
+    bit-gen measured +45% ms/step on the TPU VPU — common.dropout_key
+    docstring has the A/B numbers). Any valid stream is a correct
+    dropout mask, but the impl choice is a measured serving decision,
+    so pin it."""
+    import jax
+    from hriemo.train.common import dropout_key
+
+    k = dropout_key(0)
+    assert "rbg" in str(jax.random.key_impl(k))
+    # the stream must survive the trainers' fold_in/split usage
+    k2 = jax.random.fold_in(k, 7)
+    assert jax.random.bernoulli(k2, 0.4, (8,)).shape == (8,)
