@@ -100,5 +100,15 @@ def test_compact_summary_reads_int8_from_aux_dict():
 
 def test_last_round_value_reads_committed_self_bench():
     val, fname = bench._last_round_value()
-    assert val == 1800.0, (val, fname)
     assert fname.startswith("BENCH_SELF_r")
+    # must pick the HIGHEST committed round and read its headline value
+    # (assert the mechanism, not a hardcoded number — each round commits
+    # a new artifact)
+    import glob
+    import os
+    root = os.path.dirname(os.path.abspath(bench.__file__))
+    latest = max(glob.glob(os.path.join(root, "BENCH_SELF_r*.json")))
+    assert fname == os.path.basename(latest)
+    with open(latest) as f:
+        assert val == json.load(f)["value"]
+    assert isinstance(val, float) and val > 0
