@@ -279,16 +279,19 @@ def _kernel(x_ref, kbias_ref, pos_ref,
                 for hh in range(hpc):
                     outs[e].append(jnp.concatenate(chunks[hh], axis=0))
             elif pipe:
-                # software-pipelined head loop: issue head hh+1's QK GEMM
-                # before head hh's softmax so the scheduler has MXU work
-                # to overlap with the VPU softmax passes. Costs one extra
-                # live [Lp,Lp] fp32 score buffer.
-                s_prev = s_for(0)
-                for hh in range(1, hpc):
-                    s_cur = s_for(hh)
-                    outs[e].append(pv(s_prev, hh - 1))
-                    s_prev = s_cur
-                outs[e].append(pv(s_prev, hpc - 1))
+                # software-pipelined head loop: issue head hh+depth's QK
+                # GEMM before head hh's softmax so the scheduler has MXU
+                # work to overlap with the VPU softmax passes. Costs
+                # ``depth`` extra live [Lp,Lp] fp32 score buffers
+                # ("full" = depth 1, the round-3d winner; "full2" =
+                # depth 2, round-5 A/B — see _pipe_default).
+                depth = min(2 if pipe == "full2" else 1, hpc - 1)
+                buf = [s_for(hh) for hh in range(depth)]
+                for hh in range(depth, hpc):
+                    buf.append(s_for(hh))
+                    outs[e].append(pv(buf.pop(0), hh - depth))
+                for i, s in enumerate(buf):
+                    outs[e].append(pv(s, hpc - depth + i))
             else:
                 for hh in range(hpc):
                     outs[e].append(pv(s_for(hh), hh))
@@ -337,7 +340,7 @@ def _pipe_default(lp: int):
     re-measure; same semantics as every HRIEMO_* routing knob)."""
     env = os.environ.get("HRIEMO_PIPE")
     if env is not None:
-        return {"1": "full", "2": "chunk"}.get(env, False)
+        return {"1": "full", "2": "chunk", "3": "full2"}.get(env, False)
     return "full" if lp <= 384 else False
 
 

@@ -90,7 +90,7 @@ def setup():
     return apq, p_ln, x, pos, kpb, lens
 
 
-@pytest.mark.parametrize("pipe", ["0", "1", "2"])
+@pytest.mark.parametrize("pipe", ["0", "1", "2", "3"])
 @pytest.mark.parametrize("scalefold", [None, "1"])
 def test_matches_per_op_int8_route(setup, monkeypatch, pipe, scalefold):
     """All kernel routing variants (advisor r3 / VERDICT r3 next #4):
@@ -119,8 +119,9 @@ def test_pipe_variants_agree_across_lp(monkeypatch):
     """pipe=off == pipe=full == pipe=chunk, at an Lp<=384 shape AND an
     Lp=512 shape (the 10 s bucket's tile, where the default route is
     non-pipe and a refactor could silently break the fallback —
-    VERDICT r3 weak #2). The three modes compute identical per-head math
-    in a different issue order, so outputs must agree bitwise."""
+    VERDICT r3 weak #2). The four modes (off/full/chunk/full2) compute
+    identical per-head math in a different issue order, so outputs must
+    agree bitwise."""
     key = jax.random.key(3)
     ap, p_ln = _layer_params(key)
     apq = quantize_tree_for_serving(ap, min_dim=64)
@@ -131,12 +132,13 @@ def test_pipe_variants_agree_across_lp(monkeypatch):
         kpb = jnp.where(np.arange(l)[None, :] < l - 9, 0.0, NEG_INF
                         ).astype(jnp.float32)
         outs = {}
-        for mode in ("0", "1", "2"):
+        for mode in ("0", "1", "2", "3"):
             monkeypatch.setenv("HRIEMO_PIPE", mode)
             outs[mode] = np.asarray(
                 attention_block_int8(apq, p_ln, x, pos, kpb, EPS), np.float32)
         np.testing.assert_array_equal(outs["0"], outs["1"])
         np.testing.assert_array_equal(outs["0"], outs["2"])
+        np.testing.assert_array_equal(outs["0"], outs["3"])
 
 
 def test_scale_fold_bit_exact_at_hd64(setup, monkeypatch):
