@@ -322,6 +322,15 @@ def _pipe_default(lp: int):
     scoped-VMEM cliff (remote-compile failure, reproduced — same cliff
     the deferred-softmax fp32 variant hit), so "full" routes Lp <= 384.
 
+    "full2" (round 5, .scratch/pipe2_ab.py): the same pipeline at depth
+    2 — TWO score buffers in flight, head h+2's QK issued before head
+    h's softmax. Measured NEUTRAL whole-model on the real chip at every
+    full-pipe bucket (1.25 s +0.16%, 2.5 s +0.04%, 5 s -0.02%, 7.5 s
+    -0.26% — all within the bucket's run-to-run spread): depth 1
+    already covers the softmax latency window, so the extra in-flight
+    buffer buys no additional MXU/VPU overlap. Default stays "full";
+    kept behind HRIEMO_PIPE=3, pinned bitwise by the same tests.
+
     "chunk" (round 4, VERDICT r3 next #2): the same pipeline at
     half-row granularity — scores land in [Lp/2, Lp] chunks, so the two
     live buffers together equal the non-pipe peak and Lp=512 compiles.
