@@ -386,13 +386,26 @@ def _schedule_for(l: int, d: int, n_heads: int) -> tuple[int, int]:
                        deepest; bpg=2 at Lp=512 exceeds VMEM (compile
                        failure) — pos bias alone is 6.3 MB resident.
 
+    Round-5 re-sweep (.scratch/sched_r5_ab.py, whole-model e2e, real
+    chip): the Lp<=128 (1,2) choice was obsolete — the round-3 sweep
+    that picked it PREDATED the pipelined head loop, whose overlap
+    window spans one head chunk, so hpc=2 reset the pipeline every two
+    heads. With the pipe live, (1,12) wins at BOTH Lp=128 buckets:
+    2.5 s 109.17 -> 108.30 ms/B384 (-0.80%), 1.25 s 156.95 -> 155.70
+    ms/B768 (-0.80%); every other schedule regressed ((1,4) +1.0/+1.4%,
+    (1,6) +1.0/+1.5%, (2,2) +1.3/+1.5%, (2,4) +0.6/+0.5%). The product
+    shape now ships (1, 12) at every Lp. Override for re-measurement:
+    HRIEMO_SCHED="bpg,hpc" (trace-time, WavLM kernel only — the MHA
+    kernel keeps its own routing).
+
     Non-product shapes fall back to the conservative round-2 schedule.
     """
+    env = os.environ.get("HRIEMO_SCHED")
+    if env:
+        b_s, h_s = env.split(",")
+        return int(b_s), int(h_s)
     hd = d // n_heads
     if d == 768 and n_heads == 12:
-        lp = l + (-l) % 128
-        if lp <= 128:
-            return 1, 2
         return 1, 12
     return 1, max(1, 128 // hd)
 
@@ -411,6 +424,11 @@ def attention_block_int8(ap, p_ln, x, position_bias, key_padding_bias, eps,
     shape — see module docstring).
     """
     b, l, d = x.shape
+    if key_padding_bias is not None and key_padding_bias.shape[0] != b:
+        # a [1, L] (or otherwise mis-batched) bias would silently read
+        # out-of-block garbage for elements past its batch dim at bpg>1
+        raise ValueError(
+            f"key_padding_bias batch {key_padding_bias.shape[0]} != x batch {b}")
     n_heads = ap["gru_rel_pos_const"].shape[1]
     if bpg is None or hpc is None:
         d_bpg, d_hpc = _schedule_for(l, d, n_heads)
