@@ -510,7 +510,7 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
                 sq_ref, sk_ref, sv_ref, so_ref,
                 bq_ref, bk_ref, bv_ref, bo_ref,
                 o_ref, *, n_heads, bpg, hpc, sub: int = 0,
-                subk: int = 0, scale_folded=True, int8_core=""):
+                subk: int = 0, scale_folded=True, pipe=False, int8_core=""):
     """Standard MHA sublayer (packed-proj int8): out_proj(attn(xq, xkv)).
 
     The WavLM megakernel minus the gated position bias — shared by the
@@ -572,9 +572,11 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
             qsl = slice(e * lq, (e + 1) * lq)
             ksl = slice(e * lk, (e + 1) * lk)
             kbias = kbias_ref[e]                         # [1, Lkp]
-            for hh in range(hpc):
+
+            def s_for(hh):
+                """Biased scores for local head hh — QK MXU + bias VPU."""
                 sl = slice(hh * hd, (hh + 1) * hd)
-                qh, kh, vh = qc[qsl, sl], kc[ksl, sl], vc[ksl, sl]
+                qh, kh = qc[qsl, sl], kc[ksl, sl]
                 if int8_core in ("score", "both"):
                     s = _quant_score_gemm(qh, kh)                # [Lqp, Lkp]
                 else:
@@ -586,23 +588,59 @@ def _mha_kernel(xq_ref, xkv_ref, kbias_ref,
                 s = s + kbias
                 if sub:
                     s = s + bdiag
+                return s
+
+            def pv(s, hh):
+                """softmax (VPU) + PV GEMM for local head hh."""
+                vh = vc[ksl, slice(hh * hd, (hh + 1) * hd)]
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
                 l = jnp.sum(p, axis=-1, keepdims=True)
                 # deferred normalization measured LOSING here too (see the
                 # WavLM kernel's softmax note) — keep the in-place p/l
                 if int8_core in ("pv", "both"):
-                    outs[e].append(_quant_pv_gemm(p, l, vh))
-                else:
-                    outs[e].append(jax.lax.dot_general(
-                        (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+                    return _quant_pv_gemm(p, l, vh)
+                return jax.lax.dot_general(
+                    (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+            if pipe and hpc > 1:
+                # software-pipelined head loop — the WavLM kernel's
+                # round-3d win ported (round 5): issue head hh+1's QK
+                # GEMM before head hh's softmax so Mosaic has MXU work
+                # to overlap with the VPU softmax. One extra live
+                # [Lqp, Lkp] fp32 score buffer.
+                s_prev = s_for(0)
+                for hh in range(1, hpc):
+                    s_cur = s_for(hh)
+                    outs[e].append(pv(s_prev, hh - 1))
+                    s_prev = s_cur
+                outs[e].append(pv(s_prev, hpc - 1))
+            else:
+                for hh in range(hpc):
+                    outs[e].append(pv(s_for(hh), hh))
 
     ctx = jnp.concatenate(
         [jnp.concatenate(o, axis=-1) for o in outs], axis=0)  # [bpg*Lqp, D]
     cq, cs = _quant_rows(ctx)
     y = _int8_gemm(cq, cs, wo_ref[:], so_ref[:], bo_ref[:])
     o_ref[:] = y.reshape(bpg, lq, d).astype(o_ref.dtype)
+
+
+def _mha_pipe_default() -> bool:
+    """Software-pipelined head loop for the generic MHA kernel — the
+    WavLM kernel's round-3d pipe ported (round 5). Measured whole-model
+    on the real chip (.scratch/mha_pipe_ab.py, best-of-5): 7.5 s
+    108.34 -> 107.63 ms/B128 (-0.66%, outside the bucket's 0.3%
+    spread), 10 s -0.17%, 2.5 s -0.15%, 1.25 s +0.09% (the last three
+    within spread) — the win scales with the key length (the fusion
+    cross/self sublayers' [Lq,Lk] softmax is the VPU work being
+    overlapped; the packed BERT tiles are too small to matter). No
+    regression and no VMEM cliff anywhere incl. the Lq=Lk=512 fusion
+    self-attention, so it ships ON everywhere. HRIEMO_MHA_PIPE=0/1
+    forces off/on (trace-time read, same semantics as every HRIEMO_*
+    routing knob); bitwise-pinned by test_mha_pipe_bitwise."""
+    return os.environ.get("HRIEMO_MHA_PIPE", "1") == "1"
 
 
 def _mha_schedule_for(lq: int, lk: int, d: int, n_heads: int) -> tuple[int, int]:
@@ -803,7 +841,7 @@ def mha_block_int8(params, xq, xkv, key_padding_mask, n_heads,
     out = pl.pallas_call(
         functools.partial(_mha_kernel, n_heads=n_heads, bpg=bpg, hpc=hpc,
                           sub=sub, subk=subk, scale_folded=scale_folded,
-                          int8_core=_int8_core_mode()),
+                          pipe=_mha_pipe_default(), int8_core=_int8_core_mode()),
         grid=(bp // bpg,),
         in_specs=[
             pl.BlockSpec((bpg, lqp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -372,3 +372,31 @@ def test_int8_core_modes_mha(monkeypatch, mode):
                            use_kernel=False)
         np.testing.assert_allclose(got, np.asarray(ref, np.float32),
                                    atol=8e-2, rtol=8e-2)
+
+
+def test_mha_pipe_bitwise(monkeypatch):
+    """HRIEMO_MHA_PIPE on == off bitwise (round 5: the WavLM kernel's
+    software-pipelined head loop ported to the generic MHA kernel). The
+    two modes compute identical per-head math in a different issue
+    order — self, cross, hd=96, and packed-short-row shapes."""
+    from hriemo.nn.attention import mha_init
+    from hriemo.ops.attention_block import mha_block_int8
+    from hriemo.ops.quant import quantize_tree_for_serving
+
+    rng = np.random.default_rng(31)
+    for d, h, b, lq, lk in [(256, 2, 2, 96, 40),   # cross, hd=128
+                            (384, 4, 2, 50, 50),   # hd=96 fusion width
+                            (256, 2, 3, 20, 20),   # packed sub=32
+                            (256, 2, 3, 10, 50)]:  # packed cross
+        params = quantize_tree_for_serving(mha_init(jax.random.key(d), d),
+                                           min_dim=128)
+        xq = jnp.asarray(rng.standard_normal((b, lq, d)).astype(np.float32) * 0.5)
+        xkv = jnp.asarray(rng.standard_normal((b, lk, d)).astype(np.float32) * 0.5)
+        lens = np.array([lk] + [max(1, lk - 5)] * (b - 1))
+        mask = jnp.asarray(np.arange(lk)[None, :] >= lens[:, None])
+        outs = {}
+        for mode in ("0", "1"):
+            monkeypatch.setenv("HRIEMO_MHA_PIPE", mode)
+            outs[mode] = np.asarray(
+                mha_block_int8(params, xq, xkv, mask, h), np.float32)
+        np.testing.assert_array_equal(outs["0"], outs["1"])
